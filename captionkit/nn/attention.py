@@ -1,0 +1,128 @@
+"""Additive (Bahdanau) attention and SCMA selection.
+
+Reference semantics (SURVEY.md §3.2, §4.2; paper §3):
+
+* Visual attention (Up-Down style): score_i = wᵀ tanh(W_e e_i + W_q q),
+  α = softmax(score), ctx = Σ α_i e_i over the 36 region features. The same
+  module attends over DCNet's encoder hidden states.
+* **SCMA**: the same additive scoring over the *caption encoder's hidden
+  states* {h_i}, but what is returned is a selection over the corresponding
+  *cell states* {c_i} — the memory pool the Copy-LSTM may copy
+  (SURVEY.md §4.2 'SCMA' frame). Selection mode is configurable
+  (SURVEY.md §8.3 hard-part #1):
+    - "soft": c* = Σ β_i c_i (differentiable everywhere)
+    - "hard": c* = c_argmax(β) with a straight-through estimator so the
+      score MLP still receives gradient.
+
+TPU notes: keys are pre-projected once per sequence (W_e e_i is hoisted out
+of the decode loop into the model's `encode`), so the per-step cost is one
+[B,H]x[H,A] matmul + a fused VPU tanh/softmax — a prime Pallas fusion
+candidate (captionkit.ops.attention).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+NEG_INF = -1e9
+
+
+@struct.dataclass
+class AdditiveAttentionParams:
+    w_enc: Any  # [enc_dim, A]   key projection (precomputable)
+    w_q: Any  # [q_dim, A]       query projection
+    v: Any  # [A]                score vector
+    b: Any  # [A]                bias inside tanh
+
+
+def init_additive_attention(
+    key, enc_dim: int, q_dim: int, att_dim: int
+) -> AdditiveAttentionParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    s_e = 1.0 / jnp.sqrt(enc_dim)
+    s_q = 1.0 / jnp.sqrt(q_dim)
+    s_a = 1.0 / jnp.sqrt(att_dim)
+    u = jax.random.uniform
+    return AdditiveAttentionParams(
+        w_enc=u(k1, (enc_dim, att_dim), jnp.float32, -s_e, s_e),
+        w_q=u(k2, (q_dim, att_dim), jnp.float32, -s_q, s_q),
+        v=u(k3, (att_dim,), jnp.float32, -s_a, s_a),
+        b=jnp.zeros((att_dim,), jnp.float32),
+    )
+
+
+def project_keys(
+    params: AdditiveAttentionParams,
+    enc: jax.Array,  # [B, N, enc_dim]
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Hoist W_e·e_i out of the decode loop: [B, N, A]."""
+    dt = compute_dtype
+    return jnp.einsum(
+        "bne,ea->bna", enc.astype(dt), params.w_enc.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def additive_attention(
+    params: AdditiveAttentionParams,
+    keys: jax.Array,  # [B, N, A]   pre-projected (project_keys)
+    values: jax.Array,  # [B, N, V] what gets mixed (features / enc states)
+    query: jax.Array,  # [B, q_dim]
+    mask: Optional[jax.Array] = None,  # [B, N] bool, True = attendable
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (context [B, V], weights [B, N])."""
+    dt = compute_dtype
+    q = jnp.dot(query.astype(dt), params.w_q.astype(dt),
+                preferred_element_type=jnp.float32)  # [B, A]
+    e = jnp.tanh(keys + q[:, None, :] + params.b)  # [B, N, A]
+    scores = jnp.einsum("bna,a->bn", e, params.v)  # fp32
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)  # [B, N]
+    ctx = jnp.einsum(
+        "bn,bnv->bv", weights.astype(values.dtype), values,
+        preferred_element_type=jnp.float32,
+    )
+    return ctx, weights
+
+
+def scma_select(
+    params: AdditiveAttentionParams,
+    keys: jax.Array,  # [B, T, A]  pre-projected encoder hidden states
+    memories: jax.Array,  # [B, T, H] encoder CELL states (the copy pool)
+    query: jax.Array,  # [B, q_dim]
+    mask: Optional[jax.Array] = None,  # [B, T]
+    *,
+    mode: str = "soft",
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Selective Copy Memory Attention: score {h_i} with the decoder query,
+    select from {c_i}. Returns (c_star [B, H], weights [B, T])."""
+    _, weights = additive_attention(
+        params, keys, memories, query, mask, compute_dtype=compute_dtype
+    )
+    if mode == "soft":
+        c_star = jnp.einsum(
+            "bt,bth->bh", weights, memories,
+            preferred_element_type=jnp.float32,
+        )
+    elif mode == "hard":
+        # Straight-through: forward = gather at argmax; backward = soft mix.
+        soft = jnp.einsum("bt,bth->bh", weights, memories,
+                          preferred_element_type=jnp.float32)
+        idx = jnp.argmax(weights, axis=-1)  # [B]
+        hard = jnp.take_along_axis(
+            memories, idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]
+        c_star = soft + jax.lax.stop_gradient(hard - soft)
+    else:
+        raise ValueError(f"unknown SCMA mode {mode!r}")
+    return c_star, weights

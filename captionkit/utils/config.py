@@ -1,0 +1,195 @@
+"""Unified configuration system (SURVEY.md §6 "Config / flag system").
+
+The reference spreads argparse flags + module constants across per-model
+scripts (SURVEY.md §6, ⟦cite⟧ — mount empty at build time). Here there is a
+single dataclass tree; every BASELINE.json "configs" line is expressible as a
+named config (see NAMED_CONFIGS at the bottom).
+
+Dimensions default to the family-standard hyperparameters recalled in
+SURVEY.md §3.2: emb 1024, decoder hidden 1024, attention 512, dropout 0.5,
+vocab ≈ 9490, 36x2048 bottom-up features.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters shared by DCNet and EditNet."""
+
+    arch: str = "editnet"  # "dcnet" | "editnet"
+    vocab_size: int = 9490
+    emb_dim: int = 1024
+    hidden_dim: int = 1024
+    att_dim: int = 512
+    feat_dim: int = 2048  # bottom-up region feature dim (SURVEY.md §3.1)
+    num_regions: int = 36  # bottom-up regions per image
+    dropout: float = 0.5
+    # SCMA selection mode (SURVEY.md §8.3 hard-part #1): "soft" = attention-
+    # weighted sum of encoder cell states; "hard" = straight-through gather of
+    # the argmax-scored cell state. Configurable because the exact reference
+    # selection rule must be fit against released checkpoints (⟦cite⟧).
+    scma_select: str = "soft"
+    # DCNet is textual in the paper; BASELINE config #1 mentions features in
+    # the pipeline env, so visual conditioning is a flag (SURVEY.md §8.4).
+    dcnet_use_visual: bool = False
+    # Compute dtype for matmuls ("bfloat16" rides the MXU; params stay fp32).
+    compute_dtype: str = "bfloat16"
+    # Use fused Pallas kernels for the hot cells where available.
+    use_pallas: bool = False
+
+    @property
+    def pad_id(self) -> int:
+        return 0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Static-shape input pipeline parameters (SURVEY.md §6 long-context row:
+    the 'sequence engineering' here is padding/bucketing, not SP)."""
+
+    max_len: int = 22  # <start> + up to 20 words + <end>, padded (static)
+    max_existing_len: int = 22  # existing (AoANet) caption static length
+    batch_size: int = 256
+    min_word_freq: int = 5
+    features_path: str = ""  # HDF5 with [N, 36, 2048] float features
+    captions_path: str = ""  # encoded GT captions JSON
+    existing_captions_path: str = ""  # encoded existing (AoANet) captions
+    wordmap_path: str = ""  # word->id JSON (reference-compatible)
+    captions_per_image: int = 5
+    shuffle_buffer: int = 4096
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 4e-4
+    scst_learning_rate: float = 5e-5
+    grad_clip: float = 5.0  # max-abs clip, reference-style (SURVEY.md §3.3)
+    epochs: int = 30
+    scst_epochs: int = 10
+    lr_decay_factor: float = 0.8
+    lr_decay_patience: int = 3  # epochs without val-CIDEr improvement
+    early_stop_patience: int = 10
+    label_smoothing: float = 0.0
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    log_every: int = 100
+    eval_every_epochs: int = 1
+    # Parallelism: pure data parallel over the ICI mesh (SURVEY.md §3.5).
+    mesh_shape: tuple[int, ...] = (-1,)  # -1 = all local devices
+    mesh_axis_names: tuple[str, ...] = ("data",)
+    donate_state: bool = True
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    method: str = "beam"  # "greedy" | "beam" | "sample"
+    beam_size: int = 5
+    max_decode_len: int = 22
+    length_penalty: float = 0.0  # 0 = sum log-probs (reference-style)
+    batch_size: int = 256  # images per device batch during split decode
+    temperature: float = 1.0
+
+
+@dataclass(frozen=True)
+class CaptionKitConfig:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+
+    def replace(self, **kw: Any) -> "CaptionKitConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "CaptionKitConfig":
+        raw = json.loads(s)
+        return CaptionKitConfig(
+            name=raw.get("name", "default"),
+            model=ModelConfig(**raw.get("model", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=_train_from_raw(raw.get("train", {})),
+            decode=DecodeConfig(**raw.get("decode", {})),
+        )
+
+    def override(self, dotted: dict[str, Any]) -> "CaptionKitConfig":
+        """Apply CLI-style overrides like {"model.emb_dim": 512}."""
+        out = self
+        for key, value in dotted.items():
+            section, _, leaf = key.partition(".")
+            if not leaf:
+                out = dataclasses.replace(out, **{section: value})
+                continue
+            sub = getattr(out, section)
+            out = dataclasses.replace(
+                out, **{section: dataclasses.replace(sub, **{leaf: value})}
+            )
+        return out
+
+
+def _train_from_raw(raw: dict[str, Any]) -> TrainConfig:
+    raw = dict(raw)
+    for key in ("mesh_shape", "mesh_axis_names"):
+        if key in raw and isinstance(raw[key], list):
+            raw[key] = tuple(raw[key])
+    return TrainConfig(**raw)
+
+
+# --- Named configs: one per BASELINE.json "configs" entry -----------------
+
+def _mk(name: str, **kw: Any) -> CaptionKitConfig:
+    return CaptionKitConfig(name=name).override(kw)
+
+
+NAMED_CONFIGS: dict[str, CaptionKitConfig] = {
+    # BASELINE config #1: "DCNet greedy decode, batch=1, COCO Karpathy val"
+    "dcnet_greedy": _mk(
+        "dcnet_greedy",
+        **{"model.arch": "dcnet", "decode.method": "greedy",
+           "decode.beam_size": 1},
+    ),
+    # BASELINE config #2: "EditNet (SCMA + Copy-LSTM) greedy decode"
+    "editnet_greedy": _mk(
+        "editnet_greedy",
+        **{"model.arch": "editnet", "decode.method": "greedy",
+           "decode.beam_size": 1},
+    ),
+    # BASELINE config #3: "Batched beam search (beam=5) full Karpathy test"
+    "editnet_beam5": _mk(
+        "editnet_beam5",
+        **{"model.arch": "editnet", "decode.method": "beam",
+           "decode.beam_size": 5},
+    ),
+    # BASELINE config #4: "Cross-entropy training of DCNet+EditNet, DP mesh"
+    "xe_train": _mk("xe_train", **{"model.arch": "editnet"}),
+    # BASELINE config #5: "SCST self-critical CIDEr fine-tuning"
+    "scst_train": _mk(
+        "scst_train",
+        **{"model.arch": "editnet", "train.learning_rate": 5e-5},
+    ),
+}
+
+
+def get_named_config(name: str) -> CaptionKitConfig:
+    try:
+        return NAMED_CONFIGS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown config {name!r}; available: {sorted(NAMED_CONFIGS)}"
+        ) from None
+
+
+def list_named_configs() -> list[str]:
+    return sorted(NAMED_CONFIGS)

@@ -1,0 +1,121 @@
+"""Input pipeline tests (SURVEY.md §5 item 6: golden tokenization/padding)."""
+
+import numpy as np
+import pytest
+
+from captionkit.data import (
+    Batch,
+    SyntheticCaptionSource,
+    Vocab,
+    encode_captions,
+    make_batches,
+    ptb_tokenize,
+    simple_tokenize,
+)
+
+
+def test_vocab_build_and_roundtrip(tmp_path):
+    seqs = [["a", "dog", "runs"], ["a", "cat", "sits"], ["a", "dog", "sits"]]
+    v = Vocab.build(seqs, min_freq=2)
+    assert v.pad == 0
+    assert v.word2id["a"] > 0
+    assert "cat" not in v.word2id  # freq 1 < 2
+    path = str(tmp_path / "wordmap.json")
+    v.save(path)
+    v2 = Vocab.load(path)
+    assert v2.word2id == v.word2id
+
+
+def test_vocab_encode_decode():
+    v = Vocab.build([["a", "dog", "runs"]], min_freq=1)
+    ids, length = v.encode(["a", "dog", "flies"], max_len=8)
+    assert len(ids) == 8
+    assert length == 5  # <start> a dog <unk> <end>
+    assert ids[0] == v.start and ids[4] == v.end and ids[5] == v.pad
+    assert v.decode(ids) == ["a", "dog", "<unk>"]
+
+
+def test_vocab_encode_truncates():
+    v = Vocab.build([["w"]], min_freq=1)
+    ids, length = v.encode(["w"] * 30, max_len=10)
+    assert length == 10
+    assert ids[0] == v.start and ids[9] == v.end
+
+
+def test_vocab_requires_pad_zero():
+    with pytest.raises(ValueError):
+        Vocab({"<pad>": 1, "<unk>": 2, "<start>": 3, "<end>": 4, "a": 0})
+
+
+def test_tokenizers_golden():
+    assert simple_tokenize("A man, riding; a horse!") == [
+        "a", "man", "riding", "a", "horse",
+    ]
+    assert ptb_tokenize("A man's dog.") == ["a", "man", "'s", "dog"]
+    assert ptb_tokenize("Don't stop...") == ["do", "n't", "stop"]
+    assert ptb_tokenize("a red, shiny car.") == ["a", "red", "shiny", "car"]
+
+
+def test_encode_captions_shapes():
+    v = Vocab.build([["a", "b", "c"]], min_freq=1)
+    ids, lens = encode_captions([["a", "b"], ["c"]], v, max_len=6)
+    assert ids.shape == (2, 6) and lens.tolist() == [4, 3]
+
+
+def test_make_batches_static_shapes_and_tail_padding():
+    n, bsz = 10, 4
+    existing = np.arange(n * 5, dtype=np.int32).reshape(n, 5)
+    lens = np.full((n,), 5, np.int32)
+    batches = list(
+        make_batches(
+            features=None,
+            existing=existing,
+            existing_len=lens,
+            batch_size=bsz,
+            feat_shape=(3, 8),
+        )
+    )
+    assert len(batches) == 3
+    for b in batches:
+        assert isinstance(b, Batch)
+        assert b.existing.shape == (bsz, 5)
+        assert b.features.shape == (bsz, 3, 8)
+    # Final batch: 2 real rows, 2 padded, marked invalid.
+    assert batches[-1].valid.tolist() == [True, True, False, False]
+
+
+def test_make_batches_shuffle_is_deterministic():
+    n = 16
+    existing = np.arange(n, dtype=np.int32).reshape(n, 1)
+    lens = np.ones((n,), np.int32)
+
+    def ids(seed):
+        return [
+            b.existing[:, 0].tolist()
+            for b in make_batches(
+                features=None, existing=existing, existing_len=lens,
+                batch_size=4, shuffle=True, seed=seed,
+            )
+        ]
+
+    assert ids(1) == ids(1)
+    assert ids(1) != ids(2)
+
+
+def test_synthetic_source():
+    src = SyntheticCaptionSource(num_images=8, captions_per_image=3,
+                                 num_regions=4, feat_dim=16, max_len=20)
+    ds = src.dataset
+    assert ds.size == 24
+    assert ds.features.shape == (8, 4, 16)
+    assert ds.target.shape == (24, 20)
+    assert ds.existing_len.min() >= 3
+    ev = src.eval_view()
+    assert ev.size == 8
+    assert len(ev.references) == 8
+    b = next(ds.batches(8))
+    assert b.features.shape == (8, 4, 16)
+    # Feature rows must align with image_index.
+    np.testing.assert_array_equal(
+        b.features[0], np.asarray(ds.features)[b.image_id[0]]
+    )
