@@ -1,0 +1,217 @@
+"""Batched static-shape beam search in one lax.while_loop.
+
+The reference beam-searches one image at a time with Python-level
+expand/prune (SURVEY.md §4.3, sgrvinod-tutorial style, ⟦cite⟧). This is the
+TPU-native replacement (SURVEY.md §8.3 hard-part #2; PAPERS.md vectorized
+beam literature):
+
+* All B images × K beams step together as one flattened [B*K] batch, so the
+  per-step matmuls stay MXU-sized.
+* Beam state is a fixed pytree; the per-step reorder is a single gather per
+  leaf with the [B, K] parent index from top-k over K·V candidates.
+* Finished beams are frozen: their only continuation is <pad> at log-prob 0,
+  so they keep competing with their final score — this reproduces the
+  reference's "completed hypotheses pulled out on <end>" semantics without
+  dynamic shapes.
+* The while_loop exits early once every beam of every image is finished
+  (short captions don't pay for max_len).
+
+Per-image context (features, SCMA memory pool, masks) is repeated across the
+beam axis once at entry; model recurrent state is reordered every step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from captionkit.models.base import ModelDef
+
+NEG_INF = -1e9
+
+
+class BeamResult(NamedTuple):
+    tokens: jax.Array  # [B, L] best hypothesis per image (pad-filled)
+    scores: jax.Array  # [B] its (length-normalized) log-prob score
+    lengths: jax.Array  # [B] emitted length (incl. <end> if produced)
+    all_tokens: jax.Array  # [B, K, L] every final beam
+    all_scores: jax.Array  # [B, K]
+
+
+class _BeamState(NamedTuple):
+    t: jax.Array  # [] int32 step counter
+    seq: jax.Array  # [B, K, L] int32
+    scores: jax.Array  # [B, K] cumulative log-prob
+    done: jax.Array  # [B, K] bool
+    lengths: jax.Array  # [B, K] int32 emitted tokens
+    tok: jax.Array  # [B*K] int32 last token fed next step
+    model_state: Any  # pytree, leaves [B*K, ...]
+    # "Completed pool" register — the reference pulls finished hypotheses
+    # out of the beam (SURVEY.md §4.3); here they are registered the step
+    # they finish so later slot eviction can never lose them.
+    best_score: jax.Array  # [B] rank score of best finished hyp (NEG_INF=none)
+    best_seq: jax.Array  # [B, L]
+    best_len: jax.Array  # [B]
+
+
+def _repeat_ctx(ctx: Any, k: int) -> Any:
+    """[B, ...] -> [B*K, ...] with each image's context repeated K times."""
+    return jax.tree.map(
+        lambda x: jnp.repeat(x, k, axis=0), ctx
+    )
+
+
+def beam_search(
+    model: ModelDef,
+    params: Any,
+    ctx: Any,
+    *,
+    beam_size: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int = 0,
+    max_len: int = 22,
+    length_penalty: float = 0.0,
+) -> BeamResult:
+    """Beam search over a whole batch. ctx leaves are [B, ...].
+
+    length_penalty alpha: final score = logprob_sum / length**alpha
+    (alpha=0 reproduces the reference's raw-sum ranking [R])."""
+    K = beam_size
+    B = jax.tree.leaves(ctx)[0].shape[0]
+    ctx_k = _repeat_ctx(ctx, K)
+    model_state = model.init_state(params, ctx_k)  # leaves [B*K, ...]
+
+    def rank(scores: jax.Array, lengths: jax.Array) -> jax.Array:
+        lengths_f = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+        if length_penalty > 0.0:
+            return scores / (lengths_f ** length_penalty)
+        return scores
+
+    init = _BeamState(
+        t=jnp.asarray(0, jnp.int32),
+        seq=jnp.full((B, K, max_len), pad_id, jnp.int32),
+        # Only beam 0 is live at t=0 so the first top-k yields K distinct
+        # continuations of the single start hypothesis.
+        scores=jnp.tile(
+            jnp.asarray([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1)
+        ),
+        done=jnp.zeros((B, K), bool),
+        lengths=jnp.zeros((B, K), jnp.int32),
+        tok=jnp.full((B * K,), start_id, jnp.int32),
+        model_state=model_state,
+        best_score=jnp.full((B,), NEG_INF, jnp.float32),
+        best_seq=jnp.full((B, max_len), pad_id, jnp.int32),
+        best_len=jnp.zeros((B,), jnp.int32),
+    )
+
+    def cond(s: _BeamState):
+        return jnp.logical_and(s.t < max_len, jnp.logical_not(jnp.all(s.done)))
+
+    def body(s: _BeamState) -> _BeamState:
+        new_state, logits = model.step(
+            params, ctx_k, s.model_state, s.tok, None, False
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        V = logp.shape[-1]
+        logp = logp.reshape(B, K, V)
+
+        # Finished beams: only continuation is <pad> at zero cost, so their
+        # cumulative score is frozen and they stay in the candidate pool.
+        pad_row = jnp.full((V,), NEG_INF, jnp.float32).at[pad_id].set(0.0)
+        logp = jnp.where(s.done[:, :, None], pad_row[None, None, :], logp)
+
+        total = s.scores[:, :, None] + logp  # [B, K, V]
+        top_scores, top_idx = jax.lax.top_k(total.reshape(B, K * V), K)
+        parent = top_idx // V  # [B, K]
+        new_tok = (top_idx % V).astype(jnp.int32)  # [B, K]
+
+        # Reorder everything by parent beam.
+        def gather_bk(x):  # [B, K, ...] -> select parents
+            return jnp.take_along_axis(
+                x,
+                parent.reshape(B, K, *([1] * (x.ndim - 2))),
+                axis=1,
+            )
+
+        seq = gather_bk(s.seq)
+        seq = jax.lax.dynamic_update_index_in_dim(
+            seq, new_tok, s.t, axis=2
+        )
+        was_done = gather_bk(s.done)
+        lengths = gather_bk(s.lengths) + jnp.logical_not(was_done)
+        done = was_done | (new_tok == end_id)
+
+        def gather_state(x):  # [B*K, ...] -> reorder by parent
+            xk = x.reshape(B, K, *x.shape[1:])
+            xk = jnp.take_along_axis(
+                xk,
+                parent.reshape(B, K, *([1] * (x.ndim - 1))),
+                axis=1,
+            )
+            return xk.reshape(B * K, *x.shape[1:])
+
+        model_state2 = jax.tree.map(gather_state, new_state)
+
+        # Register hypotheses that finished THIS step into the completed
+        # pool (per image, keep the best by rank score).
+        newly = jnp.logical_and(done, jnp.logical_not(was_done))  # [B, K]
+        cand_rank = jnp.where(newly, rank(top_scores, lengths), NEG_INF)
+        cand_best = jnp.argmax(cand_rank, axis=-1)  # [B]
+        cand_score = jnp.take_along_axis(
+            cand_rank, cand_best[:, None], axis=1
+        )[:, 0]
+        improve = cand_score > s.best_score
+        cand_seq = jnp.take_along_axis(
+            seq, cand_best[:, None, None], axis=1
+        )[:, 0, :]
+        cand_len = jnp.take_along_axis(
+            lengths, cand_best[:, None], axis=1
+        )[:, 0]
+        best_score = jnp.where(improve, cand_score, s.best_score)
+        best_seq = jnp.where(improve[:, None], cand_seq, s.best_seq)
+        best_len = jnp.where(improve, cand_len, s.best_len)
+
+        return _BeamState(
+            t=s.t + 1,
+            seq=seq,
+            scores=top_scores,
+            done=done,
+            lengths=lengths,
+            tok=new_tok.reshape(B * K),
+            model_state=model_state2,
+            best_score=best_score,
+            best_seq=best_seq,
+            best_len=best_len,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Final ranking over the live slots (covers images where no beam ever
+    # emitted <end> within max_len — reference falls back to the running
+    # best hypothesis there).
+    slot_rank = rank(final.scores, final.lengths)
+    slot_best = jnp.argmax(slot_rank, axis=-1)  # [B]
+    slot_tokens = jnp.take_along_axis(
+        final.seq, slot_best[:, None, None], axis=1
+    )[:, 0, :]
+    slot_scores = jnp.take_along_axis(
+        slot_rank, slot_best[:, None], axis=1
+    )[:, 0]
+    slot_lengths = jnp.take_along_axis(
+        final.lengths, slot_best[:, None], axis=1
+    )[:, 0]
+
+    has_finished = final.best_score > NEG_INF / 2
+    tokens = jnp.where(has_finished[:, None], final.best_seq, slot_tokens)
+    scores = jnp.where(has_finished, final.best_score, slot_scores)
+    lengths = jnp.where(has_finished, final.best_len, slot_lengths)
+    return BeamResult(
+        tokens=tokens,
+        scores=scores,
+        lengths=lengths,
+        all_tokens=final.seq,
+        all_scores=slot_rank,
+    )

@@ -1,0 +1,86 @@
+"""The decoder-step protocol shared by every model (SURVEY.md §8.1 step 3).
+
+A model is a ``ModelDef`` — a bundle of pure functions over explicit
+parameter pytrees (flax.struct dataclasses). No framework module state:
+everything threads through arguments, so the same ``step`` runs under
+``lax.scan`` (teacher forcing, greedy, SCST sampling) and inside the beam
+search's ``lax.while_loop`` with flattened [B*K] batches.
+
+Shapes convention:
+* ``ctx``    — per-sequence static context pytree, leaves [B, ...]
+* ``state``  — recurrent state pytree, leaves [B, ...]; beam search reorders
+               it with a gather, so every leaf's axis 0 must be batch.
+* ``step``   — (params, ctx, state, token[B] int32, rng|None, train)
+               -> (state, logits[B, V] fp32)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+# (params, rng, batch_features, existing, existing_len) -> ctx
+EncodeFn = Callable[..., Any]
+# (params, ctx) -> state
+InitStateFn = Callable[..., Any]
+# (params, ctx, state, token, rng, train) -> (state, logits)
+StepFn = Callable[..., tuple[Any, jax.Array]]
+
+
+@dataclass(frozen=True)
+class ModelDef:
+    """A caption editor: encode once, then step a token at a time."""
+
+    name: str
+    init: Callable[..., Any]  # (rng, cfg) -> params
+    encode: EncodeFn
+    init_state: InitStateFn
+    step: StepFn
+
+
+def teacher_forcing_logits(
+    model: ModelDef,
+    params: Any,
+    ctx: Any,
+    state: Any,
+    tokens_in: jax.Array,  # [B, T] decoder inputs (<start> w1 ... w_{T-1})
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jax.Array:
+    """Run the step function over gold inputs with lax.scan.
+
+    Replaces the reference's Python per-timestep decoder loop
+    (SURVEY.md §4.1 'HOT LOOP') with one compiled scan. Returns
+    logits [B, T, V] — logits[:, t] predicts the token after tokens_in[:, t].
+    """
+    T = tokens_in.shape[1]
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def body(carry, inp):
+        state = carry
+        tok, t = inp
+        step_rng = jax.random.fold_in(base_rng, t) if train else None
+        state, logits = model.step(params, ctx, state, tok, step_rng, train)
+        return state, logits
+
+    _, logits = jax.lax.scan(
+        body,
+        state,
+        (jnp.swapaxes(tokens_in, 0, 1), jnp.arange(T)),
+    )
+    return jnp.swapaxes(logits, 0, 1)
+
+
+def dropout(
+    x: jax.Array, rate: float, rng: Optional[jax.Array], train: bool
+) -> jax.Array:
+    """Inverted dropout; identity when not training or rate == 0."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

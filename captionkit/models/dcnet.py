@@ -1,0 +1,183 @@
+"""DCNet — LSTM denoising auto-encoder over the existing caption.
+
+Reference behaviour (SURVEY.md §1, §3.2, §4.1; paper §3.1): an LSTM encoder
+reads the (imperfect) existing caption; an attentive LSTM decoder
+reconstructs the ground-truth caption, attending additively over the
+encoder's hidden states, with a sigmoid gate on the context vector
+(Up-Down-family "f_beta" gate) and a linear head to vocab logits.
+⟦cite: dcnet.py — reference mount empty at build time, SURVEY.md §0⟧
+
+TPU design notes:
+* The encoder runs once per sequence in ``encode`` (a single lax.scan);
+  attention keys (W_e·h_i) are projected there, hoisting that matmul out of
+  the decode loop entirely.
+* ``step`` is branch-free and static-shaped: one fused [B, E+H]x[...,4H]
+  LSTM matmul + one attention read. It is the unit the Pallas kernels
+  accelerate (captionkit.ops).
+* Optional visual conditioning (``cfg.dcnet_use_visual``, SURVEY.md §8.4
+  open item): when on, a second attention head over region features is
+  concatenated into the decoder input.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from captionkit.models.base import ModelDef, dropout
+from captionkit.nn.attention import (
+    AdditiveAttentionParams,
+    additive_attention,
+    init_additive_attention,
+    project_keys,
+)
+from captionkit.nn.cells import LSTMParams, init_lstm, lstm_cell, lstm_encode
+from captionkit.nn.masking import length_mask
+from captionkit.utils.config import ModelConfig
+
+
+@struct.dataclass
+class DCNetParams:
+    embedding: Any  # [V, E]
+    encoder: LSTMParams  # E -> H
+    attention: AdditiveAttentionParams  # keys: enc H, query: dec H
+    gate_w: Any  # [H, H]  context gate (f_beta): sigmoid(W h_dec)
+    gate_b: Any  # [H]
+    decoder: LSTMParams  # (E + H [+ F]) -> H
+    fc_w: Any  # [H, V]
+    fc_b: Any  # [V]
+    vis_attention: Optional[AdditiveAttentionParams] = None  # visual (opt.)
+    init_h_w: Any = None  # [H, H] decoder h0 from encoder final h
+    init_c_w: Any = None  # [H, H] decoder c0 from encoder final c
+
+
+@struct.dataclass
+class DCNetContext:
+    enc_hs: jax.Array  # [B, T, H] encoder hidden states (attention values)
+    att_keys: jax.Array  # [B, T, A] projected keys
+    mask: jax.Array  # [B, T] bool
+    h0: jax.Array  # [B, H] decoder init hidden
+    c0: jax.Array  # [B, H]
+    features: Optional[jax.Array] = None  # [B, R, F] when visual is on
+    vis_keys: Optional[jax.Array] = None  # [B, R, A]
+
+
+@struct.dataclass
+class DCNetState:
+    h: jax.Array  # [B, H]
+    c: jax.Array  # [B, H]
+
+
+def _u(key, shape, scale):
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+def init(rng: jax.Array, cfg: ModelConfig) -> DCNetParams:
+    E, H, A, V = cfg.emb_dim, cfg.hidden_dim, cfg.att_dim, cfg.vocab_size
+    ks = jax.random.split(rng, 10)
+    dec_in = E + H + (cfg.feat_dim if cfg.dcnet_use_visual else 0)
+    vis_att = (
+        init_additive_attention(ks[7], cfg.feat_dim, H, A)
+        if cfg.dcnet_use_visual
+        else None
+    )
+    return DCNetParams(
+        embedding=_u(ks[0], (V, E), 0.1),
+        encoder=init_lstm(ks[1], E, H),
+        attention=init_additive_attention(ks[2], H, H, A),
+        gate_w=_u(ks[3], (H, H), 1.0 / jnp.sqrt(H)),
+        gate_b=jnp.zeros((H,), jnp.float32),
+        decoder=init_lstm(ks[4], dec_in, H),
+        fc_w=_u(ks[5], (H, V), 1.0 / jnp.sqrt(H)),
+        fc_b=jnp.zeros((V,), jnp.float32),
+        vis_attention=vis_att,
+        init_h_w=_u(ks[8], (H, H), 1.0 / jnp.sqrt(H)),
+        init_c_w=_u(ks[9], (H, H), 1.0 / jnp.sqrt(H)),
+    )
+
+
+def _cdt(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def encode(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    features: Optional[jax.Array],  # [B, R, F] (ignored unless visual on)
+    existing: jax.Array,  # [B, T] int32
+    existing_len: jax.Array,  # [B]
+) -> DCNetContext:
+    dt = _cdt(cfg)
+    emb = params.embedding[existing]  # [B, T, E]
+    hs, cs = lstm_encode(params.encoder, emb, existing_len, compute_dtype=dt)
+    keys = project_keys(params.attention, hs, compute_dtype=dt)
+    mask = length_mask(existing_len, existing.shape[1])
+    # Decoder init from the final (frozen-at-length) encoder state — the
+    # tutorial-family init_hidden_state pattern (SURVEY.md §3.2). ⟦cite⟧
+    h_last = hs[:, -1, :]
+    c_last = cs[:, -1, :]
+    h0 = jnp.tanh(h_last @ params.init_h_w)
+    c0 = jnp.tanh(c_last @ params.init_c_w)
+    vis_keys = None
+    feats = None
+    if cfg.dcnet_use_visual and params.vis_attention is not None:
+        feats = features
+        vis_keys = project_keys(params.vis_attention, features,
+                                compute_dtype=dt)
+    return DCNetContext(
+        enc_hs=hs, att_keys=keys, mask=mask, h0=h0, c0=c0,
+        features=feats, vis_keys=vis_keys,
+    )
+
+
+def init_state(params: DCNetParams, ctx: DCNetContext) -> DCNetState:
+    return DCNetState(h=ctx.h0, c=ctx.c0)
+
+
+def step(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    ctx: DCNetContext,
+    state: DCNetState,
+    token: jax.Array,  # [B] int32
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> tuple[DCNetState, jax.Array]:
+    """One decode step (SURVEY.md §4.1 inner loop, device-resident)."""
+    dt = _cdt(cfg)
+    emb = params.embedding[token]  # [B, E]
+    att_ctx, _ = additive_attention(
+        params.attention, ctx.att_keys, ctx.enc_hs, state.h, ctx.mask,
+        compute_dtype=dt,
+    )  # [B, H]
+    gate = jax.nn.sigmoid(state.h @ params.gate_w + params.gate_b)
+    att_ctx = gate * att_ctx
+    parts = [emb, att_ctx]
+    if ctx.features is not None and params.vis_attention is not None:
+        vis_ctx, _ = additive_attention(
+            params.vis_attention, ctx.vis_keys, ctx.features, state.h,
+            mask=None, compute_dtype=dt,
+        )
+        parts.append(vis_ctx)
+    x = jnp.concatenate(parts, axis=-1)
+    h, c = lstm_cell(params.decoder, x, state.h, state.c, compute_dtype=dt)
+    out = dropout(h, cfg.dropout, rng, train)
+    logits = (out @ params.fc_w + params.fc_b).astype(jnp.float32)
+    return DCNetState(h=h, c=c), logits
+
+
+def make_model(cfg: ModelConfig) -> ModelDef:
+    return ModelDef(
+        name="dcnet",
+        init=lambda rng: init(rng, cfg),
+        encode=lambda params, features, existing, existing_len: encode(
+            params, cfg, features, existing, existing_len
+        ),
+        init_state=init_state,
+        step=lambda params, ctx, state, token, rng=None, train=False: step(
+            params, cfg, ctx, state, token, rng, train
+        ),
+    )

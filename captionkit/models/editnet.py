@@ -1,0 +1,204 @@
+"""EditNet — visually grounded caption editor with SCMA + Copy-LSTM.
+
+Reference behaviour (SURVEY.md §1, §3.2, §4.2; paper §3.2):
+
+1. An LSTM encoder reads the existing caption, retaining BOTH hidden states
+   {h_i} and cell states {c_i} — the memory pool SCMA copies from.
+2. A top-down (Up-Down style) two-LSTM decoder over 36x2048 bottom-up region
+   features:
+     - Attention-LSTM: x_t = [w_emb_t ; v̄ ; h^lang_{t-1}] -> h^att_t
+     - visual attention over V queried by h^att_t -> v̂_t (gated)
+     - SCMA: score {h_i} with h^att_t, select from {c_i} -> c*_t
+     - Copy-LSTM: x̃ = [v̂_t ; h^att_t], copy gate blends c* into the cell
+     - fc(h^lang_t) -> vocab logits
+⟦cite: editnet.py — reference mount empty at build time, SURVEY.md §0⟧
+
+TPU design notes:
+* ``encode`` runs the caption encoder once and pre-projects BOTH attention
+  key sets (visual + SCMA), so a decode step is exactly: 2 fused LSTM-cell
+  matmuls + 2 attention reads — all MXU/VPU work on static shapes.
+* The entire recurrent state is four [B, H] arrays; beam search reorders it
+  with one gather (SURVEY.md §8.3 hard-part #2). The SCMA memory pool lives
+  in ctx (per-image, broadcast across beams) — it is NOT part of the beam
+  state, which keeps the reorder cheap.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from captionkit.models.base import ModelDef, dropout
+from captionkit.nn.attention import (
+    AdditiveAttentionParams,
+    additive_attention,
+    init_additive_attention,
+    project_keys,
+    scma_select,
+)
+from captionkit.nn.cells import (
+    CopyLSTMParams,
+    LSTMParams,
+    copy_lstm_cell,
+    init_copy_lstm,
+    init_lstm,
+    lstm_cell,
+    lstm_encode,
+)
+from captionkit.nn.masking import length_mask
+from captionkit.utils.config import ModelConfig
+
+
+@struct.dataclass
+class EditNetParams:
+    embedding: Any  # [V, E]
+    encoder: LSTMParams  # caption encoder: E -> H
+    att_lstm: LSTMParams  # [E + F + H] -> H
+    vis_attention: AdditiveAttentionParams  # keys from F, query H
+    vis_gate_w: Any  # [H, F] context gate on v̂
+    vis_gate_b: Any  # [F]
+    scma: AdditiveAttentionParams  # keys from enc H, query H
+    lang_lstm: CopyLSTMParams  # [F + H] -> H, with copy gate
+    fc_w: Any  # [H, V]
+    fc_b: Any  # [V]
+
+
+@struct.dataclass
+class EditNetContext:
+    features: jax.Array  # [B, R, F] region features (attention values)
+    vis_keys: jax.Array  # [B, R, A]
+    v_mean: jax.Array  # [B, F]
+    enc_hs: jax.Array  # [B, T, H]   (SCMA scoring targets)
+    enc_cs: jax.Array  # [B, T, H]   (SCMA copy pool)
+    scma_keys: jax.Array  # [B, T, A]
+    mask: jax.Array  # [B, T] bool
+
+
+@struct.dataclass
+class EditNetState:
+    h_att: jax.Array  # [B, H]
+    c_att: jax.Array  # [B, H]
+    h_lang: jax.Array  # [B, H]
+    c_lang: jax.Array  # [B, H]
+
+
+def _u(key, shape, scale):
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+def init(rng: jax.Array, cfg: ModelConfig) -> EditNetParams:
+    E, H, A, V, F = (
+        cfg.emb_dim, cfg.hidden_dim, cfg.att_dim, cfg.vocab_size,
+        cfg.feat_dim,
+    )
+    ks = jax.random.split(rng, 9)
+    return EditNetParams(
+        embedding=_u(ks[0], (V, E), 0.1),
+        encoder=init_lstm(ks[1], E, H),
+        att_lstm=init_lstm(ks[2], E + F + H, H),
+        vis_attention=init_additive_attention(ks[3], F, H, A),
+        vis_gate_w=_u(ks[4], (H, F), 1.0 / jnp.sqrt(H)),
+        vis_gate_b=jnp.zeros((F,), jnp.float32),
+        scma=init_additive_attention(ks[5], H, H, A),
+        lang_lstm=init_copy_lstm(ks[6], F + H, H),
+        fc_w=_u(ks[7], (H, V), 1.0 / jnp.sqrt(H)),
+        fc_b=jnp.zeros((V,), jnp.float32),
+    )
+
+
+def _cdt(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def encode(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    features: jax.Array,  # [B, R, F]
+    existing: jax.Array,  # [B, T]
+    existing_len: jax.Array,  # [B]
+) -> EditNetContext:
+    dt = _cdt(cfg)
+    emb = params.embedding[existing]
+    hs, cs = lstm_encode(params.encoder, emb, existing_len, compute_dtype=dt)
+    return EditNetContext(
+        features=features,
+        vis_keys=project_keys(params.vis_attention, features,
+                              compute_dtype=dt),
+        v_mean=jnp.mean(features, axis=1),
+        enc_hs=hs,
+        enc_cs=cs,
+        scma_keys=project_keys(params.scma, hs, compute_dtype=dt),
+        mask=length_mask(existing_len, existing.shape[1]),
+    )
+
+
+def init_state(params: EditNetParams, ctx: EditNetContext) -> EditNetState:
+    B = ctx.features.shape[0]
+    H = params.fc_w.shape[0]
+    z = jnp.zeros((B, H), jnp.float32)
+    return EditNetState(h_att=z, c_att=z, h_lang=z, c_lang=z)
+
+
+def step(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    ctx: EditNetContext,
+    state: EditNetState,
+    token: jax.Array,  # [B]
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> tuple[EditNetState, jax.Array]:
+    """One EditNet decode step — SURVEY.md §4.2's hot loop, one fused trace."""
+    dt = _cdt(cfg)
+    emb = params.embedding[token]  # [B, E]
+
+    # 1. Attention LSTM.
+    x_att = jnp.concatenate([emb, ctx.v_mean, state.h_lang], axis=-1)
+    h_att, c_att = lstm_cell(
+        params.att_lstm, x_att, state.h_att, state.c_att, compute_dtype=dt
+    )
+
+    # 2. Visual attention over regions (no mask: all 36 regions valid).
+    v_hat, _ = additive_attention(
+        params.vis_attention, ctx.vis_keys, ctx.features, h_att,
+        mask=None, compute_dtype=dt,
+    )  # [B, F]
+    gate = jax.nn.sigmoid(h_att @ params.vis_gate_w + params.vis_gate_b)
+    v_hat = gate * v_hat
+
+    # 3. SCMA: select a memory cell state from the caption encoder.
+    c_star, _ = scma_select(
+        params.scma, ctx.scma_keys, ctx.enc_cs, h_att, ctx.mask,
+        mode=cfg.scma_select, compute_dtype=dt,
+    )  # [B, H]
+
+    # 4. Copy-LSTM language model.
+    x_lang = jnp.concatenate([v_hat, h_att], axis=-1)
+    h_lang, c_lang = copy_lstm_cell(
+        params.lang_lstm, x_lang, state.h_lang, state.c_lang, c_star,
+        compute_dtype=dt,
+    )
+
+    out = dropout(h_lang, cfg.dropout, rng, train)
+    logits = (out @ params.fc_w + params.fc_b).astype(jnp.float32)
+    return (
+        EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang, c_lang=c_lang),
+        logits,
+    )
+
+
+def make_model(cfg: ModelConfig) -> ModelDef:
+    return ModelDef(
+        name="editnet",
+        init=lambda rng: init(rng, cfg),
+        encode=lambda params, features, existing, existing_len: encode(
+            params, cfg, features, existing, existing_len
+        ),
+        init_state=init_state,
+        step=lambda params, ctx, state, token, rng=None, train=False: step(
+            params, cfg, ctx, state, token, rng, train
+        ),
+    )

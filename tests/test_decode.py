@@ -1,0 +1,203 @@
+"""Decode tests: greedy/sample rollout semantics and batched beam search vs
+a slow Python beam oracle on the same weights (SURVEY.md §5 item 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captionkit.decode import beam_search, greedy_decode, sample_decode
+from captionkit.models import get_model
+from captionkit.utils.config import ModelConfig
+
+CFG = dict(
+    vocab_size=30, emb_dim=12, hidden_dim=16, att_dim=8,
+    feat_dim=10, num_regions=4, dropout=0.0, compute_dtype="float32",
+)
+START, END, PAD = 2, 3, 0
+
+
+def _setup(arch="editnet", batch=4, t_in=6, seed=0):
+    cfg = ModelConfig(arch=arch, **CFG)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(
+        rng.standard_normal((batch, cfg.num_regions, cfg.feat_dim)),
+        jnp.float32,
+    )
+    existing = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (batch, t_in)), jnp.int32
+    )
+    existing_len = jnp.asarray(
+        rng.integers(2, t_in + 1, (batch,)), jnp.int32
+    )
+    ctx = model.encode(params, feats, existing, existing_len)
+    return cfg, model, params, ctx
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+def test_greedy_rollout_semantics(arch):
+    cfg, model, params, ctx = _setup(arch)
+    out = greedy_decode(model, params, ctx, start_id=START, end_id=END,
+                        pad_id=PAD, max_len=10)
+    assert out.tokens.shape == (4, 10)
+    toks = np.asarray(out.tokens)
+    mask = np.asarray(out.mask)
+    lens = np.asarray(out.lengths)
+    for b in range(4):
+        # After <end> (if emitted) everything is pad with mask False.
+        if END in toks[b]:
+            e = int(np.argmax(toks[b] == END))
+            assert np.all(toks[b, e + 1:] == PAD)
+            assert not mask[b, e + 1:].any()
+            assert lens[b] == e + 1
+        # log-probs are zero exactly where mask is False.
+        np.testing.assert_array_equal(
+            np.asarray(out.logprobs)[b] == 0.0, ~mask[b]
+        )
+
+
+def test_greedy_matches_manual_argmax_loop():
+    cfg, model, params, ctx = _setup("editnet", batch=2)
+    out = greedy_decode(model, params, ctx, start_id=START, end_id=END,
+                        pad_id=PAD, max_len=8)
+    state = model.init_state(params, ctx)
+    tok = jnp.full((2,), START, jnp.int32)
+    done = np.zeros((2,), bool)
+    rows = []
+    for _ in range(8):
+        state, logits = model.step(params, ctx, state, tok)
+        nxt = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+        nxt = np.where(done, PAD, nxt)
+        rows.append(nxt.copy())
+        done |= nxt == END
+        tok = jnp.asarray(nxt)
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.stack(rows, 1))
+
+
+def test_sample_decode_reproducible_and_diverse():
+    cfg, model, params, ctx = _setup("editnet")
+    r = jax.random.PRNGKey(5)
+    a = sample_decode(model, params, ctx, r, start_id=START, end_id=END,
+                      max_len=10)
+    b = sample_decode(model, params, ctx, r, start_id=START, end_id=END,
+                      max_len=10)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    c = sample_decode(model, params, ctx, jax.random.PRNGKey(6),
+                      start_id=START, end_id=END, max_len=10)
+    assert not np.array_equal(np.asarray(a.tokens), np.asarray(c.tokens))
+    # Sampled token log-probs must be the model's own log-probs (spot check
+    # they are negative where emitted).
+    lp = np.asarray(a.logprobs)
+    m = np.asarray(a.mask)
+    assert (lp[m] < 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Slow Python beam oracle with identical semantics (frozen finished slots +
+# completed-pool register), run per image.
+# ---------------------------------------------------------------------------
+
+def _slow_beam(model, params, ctx_1, K, max_len, length_penalty=0.0):
+    """ctx_1: context pytree with leading batch dim == 1."""
+    NEG = -1e9
+
+    def rank(score, length):
+        if length_penalty > 0:
+            return score / max(float(length), 1.0) ** length_penalty
+        return score
+
+    ctx_k = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), ctx_1)
+    state = model.init_state(params, ctx_k)
+    seqs = [[] for _ in range(K)]
+    scores = [0.0] + [NEG] * (K - 1)
+    done = [False] * K
+    lengths = [0] * K
+    toks = np.full((K,), START, np.int32)
+    best = (NEG, None, 0)
+    for t in range(max_len):
+        if all(done):
+            break
+        state, logits = model.step(params, ctx_k, state, jnp.asarray(toks))
+        logp = np.asarray(jax.nn.log_softmax(logits, axis=-1), np.float64)
+        V = logp.shape[-1]
+        cands = []  # (total, beam, tok)
+        for k in range(K):
+            if done[k]:
+                row = np.full((V,), NEG)
+                row[PAD] = 0.0
+            else:
+                row = logp[k]
+            for v in range(V):
+                cands.append((scores[k] + row[v], k, v))
+        cands.sort(key=lambda x: -x[0])
+        top = cands[:K]
+        new_seqs, new_scores, new_done, new_lens, new_toks, order = (
+            [], [], [], [], [], []
+        )
+        for total, k, v in top:
+            new_seqs.append(seqs[k] + [v])
+            new_scores.append(total)
+            nl = lengths[k] + (0 if done[k] else 1)
+            nd = done[k] or (v == END)
+            if nd and not done[k]:
+                r = rank(total, nl)
+                if r > best[0]:
+                    best = (r, new_seqs[-1], nl)
+            new_done.append(nd)
+            new_lens.append(nl)
+            new_toks.append(v)
+            order.append(k)
+        idx = jnp.asarray(order, jnp.int32)
+        state = jax.tree.map(lambda x: x[idx], state)
+        seqs, scores, done, lengths = new_seqs, new_scores, new_done, new_lens
+        toks = np.asarray(new_toks, np.int32)
+    if best[1] is not None:
+        return best[1], best[0]
+    k = int(np.argmax([rank(s, l) for s, l in zip(scores, lengths)]))
+    return seqs[k], rank(scores[k], lengths[k])
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+@pytest.mark.parametrize("lp", [0.0, 1.0])
+def test_beam_matches_slow_oracle(arch, lp):
+    cfg, model, params, ctx = _setup(arch, batch=4, seed=2)
+    K, L = 3, 8
+    res = beam_search(model, params, ctx, beam_size=K, start_id=START,
+                      end_id=END, pad_id=PAD, max_len=L, length_penalty=lp)
+    for b in range(4):
+        ctx_1 = jax.tree.map(lambda x: x[b: b + 1], ctx)
+        seq_ref, score_ref = _slow_beam(model, params, ctx_1, K, L,
+                                        length_penalty=lp)
+        got = np.asarray(res.tokens[b])
+        got = got[: len(seq_ref)].tolist()
+        assert got == seq_ref, f"image {b}: {got} != {seq_ref}"
+        np.testing.assert_allclose(
+            float(res.scores[b]), score_ref, rtol=2e-4, atol=2e-4
+        )
+
+
+def test_beam_size_one_equals_greedy():
+    cfg, model, params, ctx = _setup("editnet", batch=3, seed=4)
+    g = greedy_decode(model, params, ctx, start_id=START, end_id=END,
+                      max_len=10)
+    bm = beam_search(model, params, ctx, beam_size=1, start_id=START,
+                     end_id=END, max_len=10)
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(bm.tokens))
+
+
+def test_beam_is_jittable_once():
+    cfg, model, params, ctx = _setup("editnet", batch=2, seed=1)
+    calls = {"n": 0}
+
+    @jax.jit
+    def run(p, c):
+        calls["n"] += 1
+        return beam_search(model, p, c, beam_size=4, start_id=START,
+                           end_id=END, max_len=8).tokens
+
+    a = run(params, ctx)
+    b = run(params, ctx)
+    assert calls["n"] == 1  # traced exactly once
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

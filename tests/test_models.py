@@ -1,0 +1,138 @@
+"""Model-layer tests: shapes, determinism, gradients, step/TF equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captionkit.models import get_model, teacher_forcing_logits
+from captionkit.utils.config import ModelConfig
+
+CFG = dict(
+    vocab_size=50, emb_dim=16, hidden_dim=24, att_dim=8,
+    feat_dim=12, num_regions=5, dropout=0.5, compute_dtype="float32",
+)
+
+
+def _setup(arch: str, batch=3, t_in=7):
+    cfg = ModelConfig(arch=arch, **CFG)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((batch, cfg.num_regions, cfg.feat_dim)),
+        jnp.float32,
+    )
+    existing = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (batch, t_in)), jnp.int32
+    )
+    existing_len = jnp.asarray([t_in, 4, 2], jnp.int32)
+    ctx = model.encode(params, feats, existing, existing_len)
+    return cfg, model, params, ctx
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+def test_step_shapes_and_determinism(arch):
+    cfg, model, params, ctx = _setup(arch)
+    state = model.init_state(params, ctx)
+    tok = jnp.asarray([2, 3, 4], jnp.int32)
+    s1, logits1 = model.step(params, ctx, state, tok)
+    s2, logits2 = model.step(params, ctx, state, tok)
+    assert logits1.shape == (3, cfg.vocab_size)
+    assert logits1.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits2))
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+def test_teacher_forcing_matches_manual_steps(arch):
+    cfg, model, params, ctx = _setup(arch)
+    tokens_in = jnp.asarray(
+        np.random.default_rng(1).integers(1, cfg.vocab_size, (3, 5)),
+        jnp.int32,
+    )
+    tf_logits = teacher_forcing_logits(model, params, ctx,
+                                       model.init_state(params, ctx),
+                                       tokens_in)
+    # Manual python loop over the same step fn.
+    state = model.init_state(params, ctx)
+    outs = []
+    for t in range(5):
+        state, logits = model.step(params, ctx, state, tokens_in[:, t])
+        outs.append(np.asarray(logits))
+    manual = np.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(tf_logits), manual, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+def test_gradients_flow_everywhere(arch):
+    cfg, model, params, ctx_unused = _setup(arch)
+    feats = jnp.ones((2, cfg.num_regions, cfg.feat_dim)) * 0.1
+    existing = jnp.asarray([[2, 5, 6, 3, 0], [2, 7, 3, 0, 0]], jnp.int32)
+    existing_len = jnp.asarray([4, 3], jnp.int32)
+    target_in = jnp.asarray([[2, 8, 9], [2, 10, 11]], jnp.int32)
+    target_out = jnp.asarray([[8, 9, 3], [10, 11, 3]], jnp.int32)
+
+    def loss_fn(p):
+        ctx = model.encode(p, feats, existing, existing_len)
+        logits = teacher_forcing_logits(
+            model, p, ctx, model.init_state(p, ctx), target_in
+        )
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(
+            jnp.take_along_axis(logp, target_out[..., None], axis=-1)
+        )
+
+    grads = jax.grad(loss_fn)(
+        model.init(jax.random.PRNGKey(1))
+    )
+    flat, _ = jax.tree.flatten(grads)
+    nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in flat if g is not None)
+    total = len([g for g in flat if g is not None])
+    # Every parameter tensor should receive gradient (embedding rows for
+    # unused tokens are zero, but the tensor itself is touched).
+    assert nonzero == total, f"only {nonzero}/{total} grad tensors nonzero"
+
+
+def test_editnet_scma_uses_memory_pool():
+    """Changing the encoder cell states (copy pool) must change logits."""
+    cfg, model, params, ctx = _setup("editnet")
+    state = model.init_state(params, ctx)
+    tok = jnp.asarray([2, 3, 4], jnp.int32)
+    _, logits_a = model.step(params, ctx, state, tok)
+    ctx_b = ctx.replace(enc_cs=ctx.enc_cs + 1.0)
+    _, logits_b = model.step(params, ctx_b, state, tok)
+    assert not np.allclose(np.asarray(logits_a), np.asarray(logits_b))
+
+
+def test_dcnet_attends_only_within_length():
+    """Tokens beyond existing_len must not affect DCNet's decoder output."""
+    cfg, model, params, _ = _setup("dcnet")
+    feats = jnp.zeros((1, cfg.num_regions, cfg.feat_dim))
+    existing_a = jnp.asarray([[2, 5, 6, 3, 0, 0]], jnp.int32)
+    existing_b = jnp.asarray([[2, 5, 6, 3, 40, 41]], jnp.int32)  # junk tail
+    length = jnp.asarray([4], jnp.int32)
+    ctx_a = model.encode(params, feats, existing_a, length)
+    ctx_b = model.encode(params, feats, existing_b, length)
+    state_a = model.init_state(params, ctx_a)
+    state_b = model.init_state(params, ctx_b)
+    tok = jnp.asarray([2], jnp.int32)
+    _, la = model.step(params, ctx_a, state_a, tok)
+    _, lb = model.step(params, ctx_b, state_b, tok)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
+def test_dropout_only_in_train_mode():
+    cfg, model, params, ctx = _setup("editnet")
+    state = model.init_state(params, ctx)
+    tok = jnp.asarray([2, 3, 4], jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    _, l_eval = model.step(params, ctx, state, tok, rng, False)
+    _, l_eval2 = model.step(params, ctx, state, tok, None, False)
+    np.testing.assert_array_equal(np.asarray(l_eval), np.asarray(l_eval2))
+    _, l_train = model.step(params, ctx, state, tok, rng, True)
+    assert not np.allclose(np.asarray(l_eval), np.asarray(l_train))
+
+
+def test_registry_unknown_arch():
+    with pytest.raises(KeyError):
+        get_model(ModelConfig(arch="transformer", **CFG))
