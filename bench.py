@@ -1,0 +1,147 @@
+"""captionkit headline benchmark (BASELINE.json metric).
+
+Measures captions/sec/chip for batched beam=5 decode of a Karpathy-test-
+sized synthetic split (5000 images) with EditNet at paper scale (vocab 9490,
+emb/hidden 1024, att 512, 36x2048 features) on the real TPU chip —
+BASELINE.json config #3, the throughput-metric path (SURVEY.md §4.3).
+
+vs_baseline divides by the reference-style CPU denominator measured by
+bench_reference_cpu.py (cached in BASELINE_CPU.json; measured on first run).
+Target: >= 50x (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+PAPER = dict(vocab_size=9490, emb_dim=1024, hidden_dim=1024, att_dim=512,
+             feat_dim=2048, num_regions=36)
+
+
+def _cpu_denominator(beam: int, max_len: int, smoke: bool) -> float:
+    path = os.path.join(REPO, "BASELINE_CPU.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            blob = json.load(f)
+        if blob.get("beam") == beam and blob.get("max_len") == max_len:
+            return float(blob["captions_per_sec"])
+    images = 2 if smoke else 8
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench_reference_cpu.py"),
+         "--images", str(images), "--beam", str(beam),
+         "--max-len", str(max_len), "--out", path],
+        check=True, cwd=REPO,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    with open(path) as f:
+        return float(json.load(f)["captions_per_sec"])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny run (CI sanity): 2 batches of 64")
+    ap.add_argument("--images", type=int, default=5000,
+                    help="split size (Karpathy test = 5000)")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--max-len", type=int, default=22)
+    ap.add_argument("--no-baseline", action="store_true",
+                    help="skip the CPU denominator (vs_baseline = 0)")
+    args = ap.parse_args()
+    if args.smoke:
+        args.images, args.batch = 128, 64
+
+    import jax
+    import jax.numpy as jnp
+
+    from captionkit.decode import beam_search
+    from captionkit.models import get_model
+    from captionkit.utils.config import ModelConfig
+
+    mcfg = ModelConfig(arch="editnet", dropout=0.0, **PAPER)
+    model = get_model(mcfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+
+    def make_batch(seed: int):
+        r = np.random.default_rng(seed)
+        return (
+            jnp.asarray(r.standard_normal(
+                (B, mcfg.num_regions, mcfg.feat_dim)).astype(np.float32)),
+            jnp.asarray(r.integers(4, mcfg.vocab_size - 2, (B, args.max_len))
+                        .astype(np.int32)),
+            jnp.asarray(r.integers(8, args.max_len + 1, (B,))
+                        .astype(np.int32)),
+        )
+
+    # end_id=-1 is unreachable: untrained weights would otherwise emit
+    # <end> at step 1 and the while_loop's early exit would make the run
+    # measure almost nothing. Forcing all max_len steps measures the
+    # conservative full-length decode cost (trained models with real
+    # early exit are strictly faster). The CPU denominator uses the same
+    # convention.
+    @jax.jit
+    def decode(params, feats, existing, existing_len):
+        ctx = model.encode(params, feats, existing, existing_len)
+        return beam_search(
+            model, params, ctx, beam_size=args.beam,
+            start_id=mcfg.vocab_size - 2, end_id=-1,
+            max_len=args.max_len,
+        ).tokens
+
+    # Pre-stage every batch on device (input pipelines prefetch/overlap in
+    # production; the metric is chip decode throughput, not PCIe/tunnel
+    # latency). Synchronize via a tiny device_get checksum: on this host
+    # block_until_ready does not reliably block through the axon tunnel.
+    warm = make_batch(999)
+    jax.device_get(decode(params, *warm))  # compile, excluded
+    n_batches = max(1, args.images // B)
+    batches = [jax.device_put(make_batch(i)) for i in range(n_batches)]
+    jax.device_get([jnp.sum(fb[2]) for fb in batches])  # staging barrier
+
+    t0 = time.perf_counter()
+    outs = [decode(params, *fb) for fb in batches]
+    tokens = jax.device_get(outs)  # materialize every batch's tokens
+    wall = time.perf_counter() - t0
+    n_caps = n_batches * B
+    cps = n_caps / wall
+    del tokens
+
+    vs = 0.0
+    if not args.no_baseline:
+        denom = _cpu_denominator(args.beam, args.max_len, args.smoke)
+        vs = cps / denom if denom > 0 else 0.0
+
+    print(json.dumps({
+        "metric": (
+            f"captions/sec/chip (EditNet paper-scale, beam={args.beam}, "
+            f"batch={B}, {n_caps} synthetic Karpathy-test images, "
+            f"forced full {args.max_len}-step decode [end disabled on both "
+            f"sides: untrained weights would finish at step 1], "
+            f"1x TPU v5e chip)"
+        ),
+        "value": round(cps, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,266 @@
+"""captionkit CLI (SURVEY.md §2 L7 rebuilt as a real config system + CLI).
+
+The reference exposes per-script argparse flags; here one entry point wraps
+every BASELINE.json config:
+
+    python -m captionkit.cli configs
+    python -m captionkit.cli decode    --config editnet_beam5 --synthetic
+    python -m captionkit.cli train-xe  --config xe_train      --synthetic
+    python -m captionkit.cli train-scst --config scst_train   --synthetic
+    python -m captionkit.cli convert   --torch ckpt.pth.tar --arch dcnet --out params.npz
+
+--set section.field=value applies dotted config overrides. --synthetic runs
+on the generated toy dataset (no COCO on disk); real runs point --features/
+--captions/... at reference-format artifacts (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import Any
+
+import jax
+
+from captionkit.utils.config import (
+    CaptionKitConfig,
+    get_named_config,
+    list_named_configs,
+)
+
+
+def _parse_value(raw: str) -> Any:
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return raw
+
+
+def _apply_overrides(cfg: CaptionKitConfig, sets: list[str]) -> CaptionKitConfig:
+    overrides = {}
+    for s in sets:
+        key, _, val = s.partition("=")
+        if not val:
+            raise SystemExit(f"--set expects section.field=value, got {s!r}")
+        overrides[key] = _parse_value(val)
+    return cfg.override(overrides)
+
+
+def _load_dataset(args, cfg):
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.data.sources import CaptionDataset
+
+    if args.synthetic:
+        src = SyntheticCaptionSource(
+            num_images=args.images,
+            captions_per_image=cfg.data.captions_per_image,
+            num_regions=cfg.model.num_regions,
+            feat_dim=cfg.model.feat_dim,
+            max_len=cfg.data.max_len,
+            seed=cfg.data.seed,
+        )
+        return src.dataset, src.eval_view()
+    ds = CaptionDataset.from_reference_files(
+        wordmap_path=args.wordmap,
+        captions_path=args.captions,
+        caplens_path=args.caplens,
+        existing_captions_path=args.existing,
+        existing_caplens_path=args.existing_lens,
+        features_path=args.features,
+        max_len=cfg.data.max_len,
+    )
+    return ds, ds
+
+
+def _build_model(cfg, vocab_size: int):
+    import dataclasses
+
+    from captionkit.models import get_model
+
+    mcfg = dataclasses.replace(cfg.model, vocab_size=vocab_size)
+    return mcfg, get_model(mcfg)
+
+
+def cmd_configs(args) -> int:
+    for name in list_named_configs():
+        cfg = get_named_config(name)
+        print(f"{name:16s} arch={cfg.model.arch:8s} "
+              f"decode={cfg.decode.method}/{cfg.decode.beam_size}")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from captionkit.decode.driver import decode_split, evaluate_split
+
+    cfg = _apply_overrides(get_named_config(args.config), args.set)
+    _, eval_ds = _load_dataset(args, cfg)
+    mcfg, model = _build_model(cfg, len(eval_ds.vocab))
+    params = _load_params(args, model, mcfg)
+    if eval_ds.references is not None and not args.no_metrics:
+        metrics = evaluate_split(
+            model, params, eval_ds, cfg.decode, results_path=args.out
+        )
+    else:
+        _, metrics = decode_split(
+            model, params, eval_ds, cfg.decode, results_path=args.out
+        )
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()},
+                     indent=2))
+    return 0
+
+
+def _load_params(args, model, mcfg):
+    if getattr(args, "params", None):
+        from captionkit.train.checkpoint import load_params_npz
+
+        template = model.init(jax.random.PRNGKey(0))
+        return load_params_npz(template, args.params)
+    return model.init(jax.random.PRNGKey(args.seed))
+
+
+def cmd_train_xe(args) -> int:
+    from captionkit.parallel import make_mesh
+    from captionkit.train import create_train_state
+    from captionkit.train.checkpoint import CheckpointManager
+    from captionkit.train.loop import run_xe_training
+
+    cfg = _apply_overrides(get_named_config(args.config), args.set)
+    train_ds, eval_ds = _load_dataset(args, cfg)
+    mcfg, model = _build_model(cfg, len(train_ds.vocab))
+    state = create_train_state(model.init, cfg.train)
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir,
+                             keep=cfg.train.keep_checkpoints)
+    state, report = run_xe_training(
+        model, state, cfg, train_ds,
+        None if args.no_val else eval_ds,
+        mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
+    )
+    best = report.best_metric if report.best_metric > float("-inf") else None
+    print(json.dumps({
+        "epochs_run": report.epochs_run,
+        "best_val_cider": best,
+        "history": report.history,
+    }, indent=2, default=float))
+    ckpt.close()
+    return 0
+
+
+def cmd_train_scst(args) -> int:
+    from captionkit.parallel import make_mesh
+    from captionkit.train import create_train_state
+    from captionkit.train.checkpoint import CheckpointManager
+    from captionkit.train.loop import run_scst_training
+    from captionkit.train.state import TrainState
+
+    cfg = _apply_overrides(get_named_config(args.config), args.set)
+    train_ds, eval_ds = _load_dataset(args, cfg)
+    mcfg, model = _build_model(cfg, len(train_ds.vocab))
+    state = create_train_state(model.init, cfg.train)
+    if args.params:
+        from captionkit.train.checkpoint import load_params_npz
+
+        state = TrainState(
+            params=load_params_npz(state.params, args.params),
+            opt_state=state.opt_state, step=state.step, rng=state.rng,
+        )
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir,
+                             keep=cfg.train.keep_checkpoints)
+    state, report = run_scst_training(
+        model, state, cfg, train_ds,
+        None if args.no_val else eval_ds,
+        mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
+    )
+    best = report.best_metric if report.best_metric > float("-inf") else None
+    print(json.dumps({
+        "epochs_run": report.epochs_run,
+        "best_val_cider": best,
+    }, indent=2, default=float))
+    ckpt.close()
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from captionkit.convert.torch_import import convert_torch_checkpoint
+
+    out = convert_torch_checkpoint(args.torch, args.arch, args.out)
+    print(f"wrote {out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("captionkit")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                   help="force a JAX platform (default: environment's)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("configs", help="list named configs")
+
+    def add_common(sp, with_params=True):
+        sp.add_argument("--config", required=True,
+                        help="named config (see `configs`)")
+        sp.add_argument("--set", action="append", default=[],
+                        metavar="K=V", help="dotted config override")
+        sp.add_argument("--synthetic", action="store_true",
+                        help="use the generated toy dataset")
+        sp.add_argument("--images", type=int, default=64,
+                        help="synthetic dataset size")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--wordmap"), sp.add_argument("--captions")
+        sp.add_argument("--caplens"), sp.add_argument("--existing")
+        sp.add_argument("--existing-lens", dest="existing_lens")
+        sp.add_argument("--features", default="")
+        if with_params:
+            sp.add_argument("--params", help="params .npz to load")
+
+    sp = sub.add_parser("decode", help="decode + score a split")
+    add_common(sp)
+    sp.add_argument("--out", help="results JSON path")
+    sp.add_argument("--no-metrics", action="store_true")
+
+    sp = sub.add_parser("train-xe", help="cross-entropy training")
+    add_common(sp, with_params=False)
+    sp.add_argument("--max-steps", type=int)
+    sp.add_argument("--no-val", action="store_true")
+
+    sp = sub.add_parser("train-scst", help="SCST fine-tuning")
+    add_common(sp)
+    sp.add_argument("--max-steps", type=int)
+    sp.add_argument("--no-val", action="store_true")
+
+    sp = sub.add_parser("convert", help="torch checkpoint -> params .npz")
+    sp.add_argument("--torch", required=True)
+    sp.add_argument("--arch", required=True, choices=["dcnet", "editnet"])
+    sp.add_argument("--out", required=True)
+    return p
+
+
+_COMMANDS = {
+    "configs": cmd_configs,
+    "decode": cmd_decode,
+    "train-xe": cmd_train_xe,
+    "train-scst": cmd_train_scst,
+    "convert": cmd_convert,
+}
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        # jax.config (not the env var): the host sitecustomize imports jax
+        # at interpreter start, latching JAX_PLATFORMS before we run.
+        jax.config.update(
+            "jax_platforms", "cpu" if args.platform == "cpu" else None
+        )
+    return _COMMANDS[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""Split-decode eval driver (SURVEY.md §3.3 'Eval driver', §4.3).
+
+The reference iterates a split one image at a time, beam-searches in
+Python, dumps {image_id, caption} JSON, and shells into cococaption. Here a
+whole split decodes as a stream of static-shape device batches through ONE
+compiled decode program; invalid tail rows are dropped on host; metrics run
+in-process.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captionkit.data.sources import CaptionDataset
+from captionkit.decode.beam import beam_search
+from captionkit.decode.greedy import greedy_decode
+from captionkit.metrics.eval import CaptionEvaluator
+from captionkit.models.base import ModelDef
+from captionkit.utils.config import DecodeConfig
+
+
+def make_decode_fn(
+    model: ModelDef,
+    decode_cfg: DecodeConfig,
+    *,
+    start_id: int,
+    end_id: int,
+    pad_id: int = 0,
+):
+    """Jitted (params, features, existing, existing_len) -> tokens [B, L]."""
+
+    def fn(params, features, existing, existing_len):
+        ctx = model.encode(params, features, existing, existing_len)
+        if decode_cfg.method == "beam" and decode_cfg.beam_size > 1:
+            res = beam_search(
+                model, params, ctx,
+                beam_size=decode_cfg.beam_size,
+                start_id=start_id, end_id=end_id, pad_id=pad_id,
+                max_len=decode_cfg.max_decode_len,
+                length_penalty=decode_cfg.length_penalty,
+            )
+            return res.tokens
+        out = greedy_decode(
+            model, params, ctx,
+            start_id=start_id, end_id=end_id, pad_id=pad_id,
+            max_len=decode_cfg.max_decode_len,
+        )
+        return out.tokens
+
+    return jax.jit(fn)
+
+
+def decode_split(
+    model: ModelDef,
+    params: Any,
+    dataset: CaptionDataset,
+    decode_cfg: DecodeConfig,
+    *,
+    decode_fn=None,
+    results_path: Optional[str] = None,
+) -> tuple[dict[int, str], dict[str, float]]:
+    """Decode a dataset split. Returns ({image_id: caption}, stats).
+
+    stats includes wall-clock captions/sec — the project's north-star
+    throughput counter (SURVEY.md §6 tracing row).
+    """
+    vocab = dataset.vocab
+    if decode_fn is None:
+        decode_fn = make_decode_fn(
+            model, decode_cfg,
+            start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
+        )
+    hypotheses: dict[int, str] = {}
+    n_decoded = 0
+    n_timed = 0
+    # The first batch compiles the decode program; it is excluded from the
+    # throughput clock (captions/sec counts steady-state batches only).
+    t_start: Optional[float] = None
+    for batch in dataset.batches(decode_cfg.batch_size):
+        tokens = decode_fn(
+            params,
+            jnp.asarray(batch.features),
+            jnp.asarray(batch.existing),
+            jnp.asarray(batch.existing_len),
+        )
+        tokens = np.asarray(jax.device_get(tokens))
+        n_valid = int(batch.valid.sum())
+        if t_start is None:
+            t_start = time.perf_counter()
+        else:
+            n_timed += n_valid
+        for row, valid, img in zip(tokens, batch.valid, batch.image_id):
+            if not valid:
+                continue
+            hypotheses[int(img)] = vocab.decode_to_string(row)
+            n_decoded += 1
+    elapsed = time.perf_counter() - (t_start or time.perf_counter())
+    stats = {
+        "captions": float(n_decoded),
+        "wall_s": elapsed,
+        "captions_per_sec": n_timed / elapsed if elapsed > 0 and n_timed
+        else 0.0,
+    }
+    if results_path:
+        with open(results_path, "w") as f:
+            json.dump(
+                [{"image_id": k, "caption": v}
+                 for k, v in sorted(hypotheses.items())],
+                f, indent=0,
+            )
+    return hypotheses, stats
+
+
+def evaluate_split(
+    model: ModelDef,
+    params: Any,
+    dataset: CaptionDataset,
+    decode_cfg: DecodeConfig,
+    *,
+    evaluator: Optional[CaptionEvaluator] = None,
+    results_path: Optional[str] = None,
+) -> dict[str, float]:
+    """Decode + score a split (needs dataset.references)."""
+    if dataset.references is None:
+        raise ValueError("dataset has no reference captions to score against")
+    hyps, stats = decode_split(
+        model, params, dataset, decode_cfg, results_path=results_path
+    )
+    refs = {
+        int(img): [" ".join(toks) for toks in dataset.references[int(img)]]
+        for img in hyps
+    }
+    evaluator = evaluator or CaptionEvaluator()
+    metrics = evaluator.evaluate(refs, hyps)
+    metrics.update(stats)
+    return metrics

@@ -1,0 +1,69 @@
+"""COCOEvalCap-style driver (SURVEY.md §4.5): tokenize refs+hyps once, run
+every scorer, return one metrics dict. Pure host-side.
+
+METEOR and SPICE are attached only when their Java jars are discoverable
+(captionkit.metrics.external); otherwise the dict simply omits them — the
+reference's parity gate rides on BLEU/ROUGE/CIDEr (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Optional
+
+from captionkit.data.tokenize import ptb_tokenize
+from captionkit.metrics.bleu import bleu_scores
+from captionkit.metrics.cider import Cider, CiderD, NgramDocFreq
+from captionkit.metrics.rouge import rouge_l
+
+
+class CaptionEvaluator:
+    """evaluate({image_id: [ref strings]}, {image_id: hyp string}) -> dict."""
+
+    def __init__(
+        self,
+        *,
+        df: Optional[NgramDocFreq] = None,
+        with_cider_d: bool = False,
+        use_external: bool = True,
+    ):
+        self.cider = Cider(df)
+        self.cider_d = CiderD(df) if with_cider_d else None
+        self.use_external = use_external
+
+    def evaluate(
+        self,
+        references: Mapping[object, Sequence[str]],
+        hypotheses: Mapping[object, str],
+    ) -> dict[str, float]:
+        ids = sorted(hypotheses.keys(), key=str)
+        missing = [i for i in ids if i not in references]
+        if missing:
+            raise KeyError(f"no references for image ids {missing[:5]}")
+        hyp_tok = [ptb_tokenize(hypotheses[i]) for i in ids]
+        ref_tok = [[ptb_tokenize(r) for r in references[i]] for i in ids]
+
+        out: dict[str, float] = {}
+        for n, b in enumerate(bleu_scores(hyp_tok, ref_tok), start=1):
+            out[f"BLEU-{n}"] = b
+        out["ROUGE-L"] = rouge_l(hyp_tok, ref_tok)
+        out["CIDEr"], _ = self.cider.compute(hyp_tok, ref_tok)
+        if self.cider_d is not None:
+            out["CIDEr-D"], _ = self.cider_d.compute(hyp_tok, ref_tok)
+        if self.use_external:
+            from captionkit.metrics import external
+
+            for name, scorer in external.available_scorers().items():
+                try:
+                    out[name] = scorer(references, hypotheses)
+                except Exception:  # jar run failed — metric stays absent
+                    pass
+        return out
+
+
+def evaluate_captions(
+    references: Mapping[object, Sequence[str]],
+    hypotheses: Mapping[object, str],
+    **kw,
+) -> dict[str, float]:
+    return CaptionEvaluator(**kw).evaluate(references, hypotheses)

@@ -1,0 +1,127 @@
+"""Optional Java-jar metric adapters (METEOR 1.5, SPICE).
+
+The reference vendors these inside cococaption and shells out to the JVM
+(SURVEY.md §3.4). They are language-level, host-side, decode-time-only, so
+the rebuild keeps the identical subprocess protocols behind a clean
+interface — but only activates them when the jars (and a JVM) exist on this
+machine. Nothing in training, decoding, or the parity gate depends on them.
+
+Jar discovery: $CAPTIONKIT_METEOR_JAR / $CAPTIONKIT_SPICE_JAR, else a few
+conventional paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+from collections.abc import Mapping, Sequence
+from typing import Callable
+
+_METEOR_PATHS = [
+    os.environ.get("CAPTIONKIT_METEOR_JAR", ""),
+    "third_party/meteor/meteor-1.5.jar",
+    "/opt/meteor/meteor-1.5.jar",
+]
+_SPICE_PATHS = [
+    os.environ.get("CAPTIONKIT_SPICE_JAR", ""),
+    "third_party/spice/spice-1.0.jar",
+    "/opt/spice/spice-1.0.jar",
+]
+
+
+def _find(paths: list[str]) -> str | None:
+    for p in paths:
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+def _have_java() -> bool:
+    return shutil.which("java") is not None
+
+
+def meteor_available() -> bool:
+    return _have_java() and _find(_METEOR_PATHS) is not None
+
+
+def spice_available() -> bool:
+    return _have_java() and _find(_SPICE_PATHS) is not None
+
+
+def meteor_score(
+    references: Mapping[object, Sequence[str]],
+    hypotheses: Mapping[object, str],
+) -> float:
+    """METEOR 1.5 via the jar's stdin/stdout line protocol
+    (SURVEY.md §4.5: persistent Java pipe — here one batched invocation).
+    """
+    jar = _find(_METEOR_PATHS)
+    if jar is None or not _have_java():
+        raise RuntimeError("METEOR jar/JVM not available on this host")
+    ids = sorted(hypotheses.keys(), key=str)
+    proc = subprocess.Popen(
+        ["java", "-jar", jar, "-", "-", "-stdio", "-l", "en", "-norm"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+    )
+    eval_lines = []
+    for i in ids:
+        refs = "|||".join(r.replace("|||", " ") for r in references[i])
+        line = f"SCORE ||| {refs} ||| {hypotheses[i]}"
+        proc.stdin.write(line + "\n")
+    proc.stdin.flush()
+    stats = [proc.stdout.readline().strip() for _ in ids]
+    for s in stats:
+        proc.stdin.write(f"EVAL ||| {s}\n")
+    proc.stdin.flush()
+    scores = [float(proc.stdout.readline().strip()) for _ in ids]
+    proc.stdin.write("EVAL ||| AGGREGATE\n")  # meteor final line protocol
+    proc.stdin.close()
+    final = proc.stdout.readline().strip()
+    proc.wait(timeout=60)
+    try:
+        return float(final)
+    except ValueError:
+        return sum(scores) / max(len(scores), 1)
+
+
+def spice_score(
+    references: Mapping[object, Sequence[str]],
+    hypotheses: Mapping[object, str],
+) -> float:
+    """SPICE via the jar's temp-JSON protocol (SURVEY.md §4.5)."""
+    jar = _find(_SPICE_PATHS)
+    if jar is None or not _have_java():
+        raise RuntimeError("SPICE jar/JVM not available on this host")
+    import json
+
+    ids = sorted(hypotheses.keys(), key=str)
+    payload = [
+        {"image_id": str(i), "test": hypotheses[i],
+         "refs": list(references[i])}
+        for i in ids
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.json")
+        outp = os.path.join(td, "out.json")
+        with open(inp, "w") as f:
+            json.dump(payload, f)
+        subprocess.run(
+            ["java", "-Xmx8G", "-jar", jar, inp, "-out", outp,
+             "-subset", "-silent"],
+            check=True, timeout=1800,
+        )
+        with open(outp) as f:
+            results = json.load(f)
+    vals = [r["scores"]["All"]["f"] for r in results]
+    return sum(vals) / max(len(vals), 1)
+
+
+def available_scorers() -> dict[str, Callable]:
+    out: dict[str, Callable] = {}
+    if meteor_available():
+        out["METEOR"] = meteor_score
+    if spice_available():
+        out["SPICE"] = spice_score
+    return out

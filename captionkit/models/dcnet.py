@@ -52,6 +52,8 @@ class DCNetParams:
     vis_attention: Optional[AdditiveAttentionParams] = None  # visual (opt.)
     init_h_w: Any = None  # [H, H] decoder h0 from encoder final h
     init_c_w: Any = None  # [H, H] decoder c0 from encoder final c
+    init_h_b: Any = None  # [H]
+    init_c_b: Any = None  # [H]
 
 
 @struct.dataclass
@@ -96,6 +98,8 @@ def init(rng: jax.Array, cfg: ModelConfig) -> DCNetParams:
         vis_attention=vis_att,
         init_h_w=_u(ks[8], (H, H), 1.0 / jnp.sqrt(H)),
         init_c_w=_u(ks[9], (H, H), 1.0 / jnp.sqrt(H)),
+        init_h_b=jnp.zeros((H,), jnp.float32),
+        init_c_b=jnp.zeros((H,), jnp.float32),
     )
 
 
@@ -119,8 +123,8 @@ def encode(
     # tutorial-family init_hidden_state pattern (SURVEY.md §3.2). ⟦cite⟧
     h_last = hs[:, -1, :]
     c_last = cs[:, -1, :]
-    h0 = jnp.tanh(h_last @ params.init_h_w)
-    c0 = jnp.tanh(c_last @ params.init_c_w)
+    h0 = jnp.tanh(h_last @ params.init_h_w + params.init_h_b)
+    c0 = jnp.tanh(c_last @ params.init_c_w + params.init_c_b)
     vis_keys = None
     feats = None
     if cfg.dcnet_use_visual and params.vis_attention is not None:

@@ -1,0 +1,237 @@
+"""Host-side epoch drivers for XE and SCST training.
+
+Rebuilds the reference train scripts' outer loops (SURVEY.md §3.3): epoch
+iteration, periodic validation by decoding the val split and scoring CIDEr,
+best-checkpointing, lr decay on plateau, early stop. All device work happens
+in the jitted steps from xe.py / scst.py; this module only moves batches and
+bookkeeping.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from captionkit.data.sources import CaptionDataset
+from captionkit.decode.driver import evaluate_split
+from captionkit.metrics.cider import NgramDocFreq
+from captionkit.models.base import ModelDef
+from captionkit.parallel.mesh import shard_batch_arrays
+from captionkit.train.checkpoint import CheckpointManager
+from captionkit.train.scst import (
+    ScstRewarder,
+    make_scst_rollout,
+    make_scst_update,
+    scst_train_step,
+)
+from captionkit.train.state import TrainState
+from captionkit.train.xe import batch_to_device_dict, make_xe_train_step
+from captionkit.utils.config import CaptionKitConfig
+
+log = logging.getLogger("captionkit.train")
+
+
+class AverageMeter:
+    """Running average — the reference's training-loop telemetry unit
+    (SURVEY.md §6 metrics row)."""
+
+    def __init__(self) -> None:
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, value: float, n: int = 1) -> None:
+        self.sum += float(value) * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+
+@dataclass
+class TrainReport:
+    epochs_run: int = 0
+    best_metric: float = float("-inf")
+    best_epoch: int = -1
+    history: list[dict[str, float]] = field(default_factory=list)
+
+
+def _validate(model, state, val_dataset, cfg) -> float:
+    metrics = evaluate_split(
+        model, state.params, val_dataset, cfg.decode
+    )
+    log.info("val metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
+    return metrics.get("CIDEr", 0.0)
+
+
+def run_xe_training(
+    model: ModelDef,
+    state: TrainState,
+    cfg: CaptionKitConfig,
+    train_dataset: CaptionDataset,
+    val_dataset: Optional[CaptionDataset] = None,
+    *,
+    mesh=None,
+    ckpt: Optional[CheckpointManager] = None,
+    max_steps: Optional[int] = None,
+) -> tuple[TrainState, TrainReport]:
+    """Cross-entropy phase (reference per-model train script, SURVEY.md §4.1).
+
+    lr decay on val-CIDEr plateau is realized by rebuilding the optimizer
+    would discard Adam moments, so instead — matching the reference's
+    in-place adjust_learning_rate — we scale the update via optax's
+    inject_hyperparams-free path: the step is rebuilt with the decayed lr
+    and the existing opt_state is kept (Adam state is lr-independent).
+    """
+    tcfg = cfg.train
+    report = TrainReport()
+    lr = tcfg.learning_rate
+    epochs_since_best = 0
+    step_fn = make_xe_train_step(model, tcfg, mesh)
+    steps_done = 0
+
+    for epoch in range(tcfg.epochs):
+        meter_loss, meter_acc, meter_bt = (
+            AverageMeter(), AverageMeter(), AverageMeter()
+        )
+        t0 = time.perf_counter()
+        for batch in train_dataset.batches(
+            cfg.data.batch_size, shuffle=True, seed=tcfg.seed + epoch
+        ):
+            dev_batch = batch_to_device_dict(batch)
+            if mesh is not None:
+                dev_batch = shard_batch_arrays(mesh, dev_batch)
+            state, metrics = step_fn(state, dev_batch)
+            steps_done += 1
+            meter_loss.update(float(metrics["loss"]))
+            meter_acc.update(float(metrics["top5_acc"]))
+            meter_bt.update(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            if steps_done % tcfg.log_every == 0:
+                log.info(
+                    "epoch %d step %d loss %.4f top5 %.3f %.3fs/step",
+                    epoch, steps_done, meter_loss.avg, meter_acc.avg,
+                    meter_bt.avg,
+                )
+            if max_steps is not None and steps_done >= max_steps:
+                break
+
+        epoch_stats = {
+            "epoch": epoch, "loss": meter_loss.avg, "top5_acc": meter_acc.avg
+        }
+        if val_dataset is not None and (epoch + 1) % tcfg.eval_every_epochs == 0:
+            cider = _validate(model, state, val_dataset, cfg)
+            epoch_stats["val_cider"] = cider
+            improved = cider > report.best_metric
+            if improved:
+                report.best_metric = cider
+                report.best_epoch = epoch
+                epochs_since_best = 0
+            else:
+                epochs_since_best += 1
+            if ckpt is not None:
+                ckpt.save(state, metric=cider)
+            if epochs_since_best >= tcfg.early_stop_patience:
+                log.info("early stop at epoch %d", epoch)
+                report.history.append(epoch_stats)
+                report.epochs_run = epoch + 1
+                break
+            if (
+                epochs_since_best > 0
+                and epochs_since_best % tcfg.lr_decay_patience == 0
+            ):
+                lr *= tcfg.lr_decay_factor
+                log.info("decaying lr to %g", lr)
+                import dataclasses as _dc
+
+                step_fn = make_xe_train_step(
+                    model, _dc.replace(tcfg, learning_rate=lr), mesh
+                )
+        elif ckpt is not None:
+            ckpt.save(state)
+        report.history.append(epoch_stats)
+        report.epochs_run = epoch + 1
+        if max_steps is not None and steps_done >= max_steps:
+            break
+    return state, report
+
+
+def run_scst_training(
+    model: ModelDef,
+    state: TrainState,
+    cfg: CaptionKitConfig,
+    train_dataset: CaptionDataset,
+    val_dataset: Optional[CaptionDataset] = None,
+    *,
+    mesh=None,
+    ckpt: Optional[CheckpointManager] = None,
+    df: Optional[NgramDocFreq] = None,
+    max_steps: Optional[int] = None,
+) -> tuple[TrainState, TrainReport]:
+    """SCST fine-tuning phase (SURVEY.md §4.4)."""
+    if train_dataset.references is None:
+        raise ValueError("SCST needs per-image reference captions")
+    tcfg = cfg.train
+    vocab = train_dataset.vocab
+    if df is None:
+        df = NgramDocFreq.build(train_dataset.references)
+    rewarder = ScstRewarder(vocab, df)
+    import dataclasses as _dc
+
+    scst_cfg = _dc.replace(tcfg, learning_rate=tcfg.scst_learning_rate)
+    rollout_fn = make_scst_rollout(
+        model, start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
+        max_len=cfg.decode.max_decode_len, mesh=mesh,
+    )
+    update_fn = make_scst_update(
+        model, scst_cfg, start_id=vocab.start, mesh=mesh
+    )
+    report = TrainReport()
+    steps_done = 0
+    for epoch in range(tcfg.scst_epochs):
+        meter_rw = AverageMeter()
+        for batch in train_dataset.batches(
+            cfg.data.batch_size, shuffle=True, seed=tcfg.seed + 1000 + epoch
+        ):
+            dev_batch = batch_to_device_dict(batch)
+            if mesh is not None:
+                dev_batch = shard_batch_arrays(mesh, dev_batch)
+            refs = [
+                train_dataset.references[int(i)] for i in batch.image_id
+            ]
+            rng = jax.random.fold_in(state.rng, int(state.step))
+            state, metrics = scst_train_step(
+                rollout_fn=rollout_fn, update_fn=update_fn,
+                rewarder=rewarder, state=state, batch=dev_batch,
+                references=refs, rng=rng,
+            )
+            steps_done += 1
+            meter_rw.update(metrics["reward_sample_minus_greedy"])
+            if steps_done % tcfg.log_every == 0:
+                log.info(
+                    "scst epoch %d step %d mean advantage %.4f",
+                    epoch, steps_done, meter_rw.avg,
+                )
+            if max_steps is not None and steps_done >= max_steps:
+                break
+        stats = {"epoch": epoch, "mean_advantage": meter_rw.avg}
+        if val_dataset is not None:
+            cider = _validate(model, state, val_dataset, cfg)
+            stats["val_cider"] = cider
+            if cider > report.best_metric:
+                report.best_metric = cider
+                report.best_epoch = epoch
+            if ckpt is not None:
+                ckpt.save(state, metric=cider)
+        elif ckpt is not None:
+            ckpt.save(state)
+        report.history.append(stats)
+        report.epochs_run = epoch + 1
+        if max_steps is not None and steps_done >= max_steps:
+            break
+    return state, report

@@ -1,0 +1,201 @@
+"""SCST mechanics, split-decode driver, and epoch-loop tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captionkit.data import SyntheticCaptionSource
+from captionkit.decode import greedy_decode
+from captionkit.decode.driver import decode_split, evaluate_split
+from captionkit.metrics.cider import NgramDocFreq
+from captionkit.models import get_model
+from captionkit.train import create_train_state
+from captionkit.train.loop import run_scst_training, run_xe_training
+from captionkit.train.scst import (
+    ScstRewarder,
+    make_scst_rollout,
+    make_scst_update,
+    scst_train_step,
+)
+from captionkit.train.xe import batch_to_device_dict
+from captionkit.utils.config import CaptionKitConfig, ModelConfig, TrainConfig
+
+
+def _setup(seed=0, num_images=12):
+    src = SyntheticCaptionSource(
+        num_images=num_images, captions_per_image=2, num_regions=4,
+        feat_dim=12, max_len=12, seed=seed,
+    )
+    mcfg = ModelConfig(
+        arch="editnet", vocab_size=len(src.vocab), emb_dim=16, hidden_dim=24,
+        att_dim=8, feat_dim=12, num_regions=4, dropout=0.0,
+        compute_dtype="float32",
+    )
+    model = get_model(mcfg)
+    tcfg = TrainConfig(learning_rate=1e-2, scst_learning_rate=1e-2,
+                       donate_state=False, seed=seed)
+    state = create_train_state(model.init, tcfg)
+    return src, mcfg, model, tcfg, state
+
+
+def test_scst_rollout_greedy_leg_matches_direct_greedy():
+    src, mcfg, model, tcfg, state = _setup()
+    v = src.vocab
+    batch = batch_to_device_dict(next(src.dataset.batches(6)))
+    rollout = make_scst_rollout(model, start_id=v.start, end_id=v.end,
+                                pad_id=v.pad, max_len=10)
+    roll = rollout(state.params, batch, jax.random.PRNGKey(0))
+    ctx = model.encode(state.params, batch["features"], batch["existing"],
+                       batch["existing_len"])
+    direct = greedy_decode(model, state.params, ctx, start_id=v.start,
+                           end_id=v.end, pad_id=v.pad, max_len=10)
+    np.testing.assert_array_equal(
+        np.asarray(roll["greedy_tokens"]), np.asarray(direct.tokens)
+    )
+    assert roll["sample_tokens"].shape == (6, 10)
+
+
+def test_rewarder_zero_advantage_for_identical_rollouts():
+    src, *_ = _setup()
+    df = NgramDocFreq.build(src.dataset.references)
+    rewarder = ScstRewarder(src.vocab, df)
+    toks, _ = src.vocab.encode("a man riding a horse".split(), 12)
+    tokens = np.asarray([toks, toks], np.int32)
+    refs = [src.dataset.references[0], src.dataset.references[1]]
+    adv = rewarder.advantage(tokens, tokens, refs)
+    np.testing.assert_allclose(adv, 0.0, atol=1e-9)
+
+
+def test_scst_update_moves_logprob_in_advantage_direction():
+    """+1 advantage on sampled tokens must raise their log-probs (REINFORCE
+    sign check); -1 must lower them."""
+    src, mcfg, model, tcfg, state = _setup()
+    v = src.vocab
+    batch = batch_to_device_dict(next(src.dataset.batches(6)))
+    rollout = make_scst_rollout(model, start_id=v.start, end_id=v.end,
+                                pad_id=v.pad, max_len=8)
+    roll = rollout(state.params, batch, jax.random.PRNGKey(1))
+    update = make_scst_update(model, tcfg, start_id=v.start)
+
+    from captionkit.models.base import teacher_forcing_logits
+
+    def mean_logp(params):
+        ctx = model.encode(params, batch["features"], batch["existing"],
+                           batch["existing_len"])
+        tokens = roll["sample_tokens"]
+        B = tokens.shape[0]
+        tokens_in = jnp.concatenate(
+            [jnp.full((B, 1), v.start, jnp.int32), tokens[:, :-1]], axis=1
+        )
+        logits = teacher_forcing_logits(
+            model, params, ctx, model.init_state(params, ctx), tokens_in
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tl = jnp.take_along_axis(logp, tokens[..., None], -1)[..., 0]
+        m = roll["sample_mask"].astype(jnp.float32)
+        return float(jnp.sum(tl * m) / jnp.sum(m))
+
+    before = mean_logp(state.params)
+    pos = jnp.ones((6,), jnp.float32)
+    s_pos, _ = update(state, batch, roll["sample_tokens"],
+                      roll["sample_mask"], pos)
+    assert mean_logp(s_pos.params) > before
+    s_neg, _ = update(state, batch, roll["sample_tokens"],
+                      roll["sample_mask"], -pos)
+    assert mean_logp(s_neg.params) < before
+
+
+def test_scst_full_step_runs():
+    src, mcfg, model, tcfg, state = _setup()
+    v = src.vocab
+    batch_host = next(src.dataset.batches(6))
+    batch = batch_to_device_dict(batch_host)
+    df = NgramDocFreq.build(src.dataset.references)
+    rollout = make_scst_rollout(model, start_id=v.start, end_id=v.end,
+                                pad_id=v.pad, max_len=10)
+    update = make_scst_update(model, tcfg, start_id=v.start)
+    refs = [src.dataset.references[int(i)] for i in batch_host.image_id]
+    new_state, metrics = scst_train_step(
+        rollout_fn=rollout, update_fn=update,
+        rewarder=ScstRewarder(v, df), state=state, batch=batch,
+        references=refs, rng=jax.random.PRNGKey(3),
+    )
+    assert int(new_state.step) == 1
+    assert np.isfinite(metrics["reward_sample_minus_greedy"])
+    assert np.isfinite(float(metrics["scst_loss"]))
+
+
+def test_decode_split_and_results_json(tmp_path):
+    src, mcfg, model, tcfg, state = _setup(num_images=10)
+    ev = src.eval_view()
+    from captionkit.utils.config import DecodeConfig
+
+    dcfg = DecodeConfig(method="beam", beam_size=3, max_decode_len=10,
+                        batch_size=4)
+    path = str(tmp_path / "results.json")
+    hyps, stats = decode_split(model, state.params, ev, dcfg,
+                               results_path=path)
+    assert len(hyps) == 10  # every image decoded exactly once
+    assert stats["captions"] == 10
+    with open(path) as f:
+        dumped = json.load(f)
+    assert {d["image_id"] for d in dumped} == set(range(10))
+    assert all("caption" in d for d in dumped)
+
+
+def test_evaluate_split_scores():
+    src, mcfg, model, tcfg, state = _setup(num_images=8)
+    ev = src.eval_view()
+    from captionkit.utils.config import DecodeConfig
+
+    dcfg = DecodeConfig(method="greedy", beam_size=1, max_decode_len=10,
+                        batch_size=8)
+    metrics = evaluate_split(model, state.params, ev, dcfg)
+    for k in ("BLEU-4", "ROUGE-L", "CIDEr", "captions_per_sec"):
+        assert k in metrics
+
+
+def test_xe_loop_smoke(tmp_path):
+    src, mcfg, model, tcfg, state = _setup(num_images=8)
+    cfg = CaptionKitConfig(
+        model=mcfg,
+        train=tcfg.__class__(
+            epochs=2, learning_rate=1e-2, donate_state=False,
+            eval_every_epochs=1, log_every=1,
+        ),
+    )
+    cfg = cfg.override({"data.batch_size": 8, "decode.method": "greedy",
+                        "decode.beam_size": 1, "decode.max_decode_len": 10,
+                        "decode.batch_size": 8})
+    from captionkit.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    state2, report = run_xe_training(
+        model, state, cfg, src.dataset, src.eval_view(), ckpt=ckpt,
+        max_steps=6,
+    )
+    assert report.epochs_run >= 1
+    assert int(state2.step) > 0
+    assert ckpt.latest_step() is not None
+    ckpt.close()
+
+
+def test_scst_loop_smoke():
+    src, mcfg, model, tcfg, state = _setup(num_images=8)
+    cfg = CaptionKitConfig(
+        model=mcfg,
+        train=tcfg.__class__(
+            scst_epochs=1, scst_learning_rate=1e-3, donate_state=False,
+            log_every=1,
+        ),
+    )
+    cfg = cfg.override({"data.batch_size": 8, "decode.max_decode_len": 10,
+                        "decode.method": "greedy", "decode.beam_size": 1,
+                        "decode.batch_size": 8})
+    state2, report = run_scst_training(
+        model, state, cfg, src.dataset, None, max_steps=2,
+    )
+    assert int(state2.step) == 2
+    assert report.epochs_run == 1

@@ -1,0 +1,160 @@
+"""Training tests: loss goes down, DP invariance over mesh sizes,
+checkpoint/resume (SURVEY.md §5 items 5 + aux)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captionkit.data import SyntheticCaptionSource
+from captionkit.models import get_model
+from captionkit.parallel import make_mesh, shard_batch_arrays
+from captionkit.train import (
+    CheckpointManager,
+    TrainState,
+    create_train_state,
+    make_eval_loss_step,
+    make_xe_train_step,
+)
+from captionkit.train.xe import batch_to_device_dict, xe_loss
+from captionkit.utils.config import ModelConfig, TrainConfig
+
+MCFG = dict(
+    vocab_size=0,  # filled from vocab
+    emb_dim=16, hidden_dim=24, att_dim=8, feat_dim=12, num_regions=4,
+    dropout=0.0, compute_dtype="float32",
+)
+
+
+def _setup(arch="editnet", num_images=16, batch_size=16, seed=0):
+    src = SyntheticCaptionSource(
+        num_images=num_images, captions_per_image=2, num_regions=4,
+        feat_dim=12, max_len=12, seed=seed,
+    )
+    cfg = dict(MCFG)
+    cfg["vocab_size"] = len(src.vocab)
+    mcfg = ModelConfig(arch=arch, **cfg)
+    model = get_model(mcfg)
+    tcfg = TrainConfig(learning_rate=1e-2, grad_clip=5.0, seed=seed,
+                       donate_state=False)
+    state = create_train_state(model.init, tcfg)
+    batch = batch_to_device_dict(next(src.dataset.batches(batch_size)))
+    return src, model, tcfg, state, batch
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+def test_xe_loss_decreases(arch):
+    src, model, tcfg, state, batch = _setup(arch)
+    step = make_xe_train_step(model, tcfg)
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+    assert np.isfinite(losses).all()
+
+
+def test_xe_loss_ignores_invalid_rows():
+    src, model, tcfg, state, batch = _setup("editnet")
+    loss_a, _ = xe_loss(
+        model, state.params, batch["features"], batch["existing"],
+        batch["existing_len"], batch["target"], batch["target_len"],
+        batch["valid"], train=False,
+    )
+    # Mark half the rows invalid and corrupt them — loss over the valid
+    # half must not see the corruption.
+    valid = batch["valid"].at[8:].set(False)
+    target_bad = batch["target"].at[8:].set(1)
+    loss_b, _ = xe_loss(
+        model, state.params, batch["features"], batch["existing"],
+        batch["existing_len"], target_bad, batch["target_len"], valid,
+        train=False,
+    )
+    loss_c, _ = xe_loss(
+        model, state.params, batch["features"], batch["existing"],
+        batch["existing_len"], batch["target"], batch["target_len"], valid,
+        train=False,
+    )
+    np.testing.assert_allclose(float(loss_b), float(loss_c), atol=1e-6)
+    assert not np.allclose(float(loss_a), float(loss_b))
+
+
+def test_dp_mesh_sizes_agree():
+    """Same global batch, mesh of 1 vs 8 devices -> identical loss
+    trajectory (SURVEY.md §5 item 5)."""
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+
+    def run(n_dev):
+        src, model, tcfg, state, batch = _setup("editnet", seed=3)
+        mesh = make_mesh((n_dev,), ("data",),
+                         devices=jax.devices()[:n_dev])
+        step = make_xe_train_step(model, tcfg, mesh)
+        batch_sh = shard_batch_arrays(mesh, batch)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch_sh)
+            losses.append(float(m["loss"]))
+        return losses
+
+    l1 = run(1)
+    l8 = run(8)
+    np.testing.assert_allclose(l1, l8, rtol=2e-5)
+
+
+def test_eval_loss_step_matches_train_loss_at_step0():
+    src, model, tcfg, state, batch = _setup("dcnet")
+    eval_step = make_eval_loss_step(model)
+    m = eval_step(state.params, batch)
+    train_step = make_xe_train_step(model, tcfg)
+    _, m2 = train_step(state, batch)
+    # dropout=0 so train-mode loss at the same params matches eval loss.
+    np.testing.assert_allclose(float(m["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    src, model, tcfg, state, batch = _setup("editnet")
+    step = make_xe_train_step(model, tcfg)
+    for _ in range(2):
+        state, _ = step(state, batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    is_best = mgr.save(state, metric=0.5)
+    assert is_best
+    assert mgr.save(state, metric=0.4) is False  # not an improvement
+    template = create_train_state(model.init, tcfg)
+    restored = mgr.restore(template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Training continues identically from the restored state.
+    s1, m1 = step(state, batch)
+    s2, m2 = step(restored, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    mgr.close()
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from captionkit.train.checkpoint import load_params_npz, save_params_npz
+
+    src, model, tcfg, state, batch = _setup("dcnet")
+    path = str(tmp_path / "params.npz")
+    save_params_npz(state.params, path)
+    zeros = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if x is not None else None,
+        state.params,
+        is_leaf=lambda x: x is None,
+    )
+    loaded = load_params_npz(zeros, path)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_make_mesh_helpers():
+    m = make_mesh((-1,), ("data",))
+    assert m.devices.size == len(jax.devices())
+    m2 = make_mesh((2, 4), ("dcn", "ici"))
+    assert m2.axis_names == ("dcn", "ici")
+    with pytest.raises(ValueError):
+        make_mesh((16,), ("data",))
