@@ -61,6 +61,10 @@ def main() -> int:
     ap.add_argument("--max-len", type=int, default=22)
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip the CPU denominator (vs_baseline = 0)")
+    ap.add_argument("--use-pallas", action="store_true",
+                    help="decode through the fused Pallas kernels")
+    ap.add_argument("--profile", default="",
+                    help="dump a jax.profiler trace of the timed region")
     args = ap.parse_args()
     if args.smoke:
         args.images, args.batch = 128, 64
@@ -72,7 +76,8 @@ def main() -> int:
     from captionkit.models import get_model
     from captionkit.utils.config import ModelConfig
 
-    mcfg = ModelConfig(arch="editnet", dropout=0.0, **PAPER)
+    mcfg = ModelConfig(arch="editnet", dropout=0.0,
+                       use_pallas=args.use_pallas, **PAPER)
     model = get_model(mcfg)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -115,10 +120,13 @@ def main() -> int:
     batches = [jax.device_put(make_batch(i)) for i in range(n_batches)]
     jax.device_get([jnp.sum(fb[2]) for fb in batches])  # staging barrier
 
-    t0 = time.perf_counter()
-    outs = [decode(params, *fb) for fb in batches]
-    tokens = jax.device_get(outs)  # materialize every batch's tokens
-    wall = time.perf_counter() - t0
+    from captionkit.utils.profiling import trace
+
+    with trace(args.profile or None):
+        t0 = time.perf_counter()
+        outs = [decode(params, *fb) for fb in batches]
+        tokens = jax.device_get(outs)  # materialize every batch's tokens
+        wall = time.perf_counter() - t0
     n_caps = n_batches * B
     cps = n_caps / wall
     del tokens

@@ -133,10 +133,16 @@ def cmd_train_xe(args) -> int:
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                              keep=cfg.train.keep_checkpoints)
+    mlogger = None
+    if args.run_dir:
+        from captionkit.utils.logging import MetricsLogger
+
+        mlogger = MetricsLogger(args.run_dir)
     state, report = run_xe_training(
         model, state, cfg, train_ds,
         None if args.no_val else eval_ds,
         mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
+        metrics_logger=mlogger,
     )
     best = report.best_metric if report.best_metric > float("-inf") else None
     print(json.dumps({
@@ -169,10 +175,16 @@ def cmd_train_scst(args) -> int:
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                              keep=cfg.train.keep_checkpoints)
+    mlogger = None
+    if args.run_dir:
+        from captionkit.utils.logging import MetricsLogger
+
+        mlogger = MetricsLogger(args.run_dir)
     state, report = run_scst_training(
         model, state, cfg, train_ds,
         None if args.no_val else eval_ds,
         mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
+        metrics_logger=mlogger,
     )
     best = report.best_metric if report.best_metric > float("-inf") else None
     print(json.dumps({
@@ -195,6 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("captionkit")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="force a JAX platform (default: environment's)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise immediately on any NaN under jit")
+    p.add_argument("--run-dir", default="",
+                   help="write metrics.jsonl (+ TensorBoard if available)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("configs", help="list named configs")
@@ -259,6 +275,10 @@ def main(argv=None) -> int:
         jax.config.update(
             "jax_platforms", "cpu" if args.platform == "cpu" else None
         )
+    if args.debug_nans:
+        from captionkit.utils.logging import enable_nan_debugging
+
+        enable_nan_debugging()
     return _COMMANDS[args.cmd](args)
 
 

@@ -16,6 +16,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from captionkit.data.sources import CaptionDataset
 from captionkit.decode.beam import beam_search
@@ -32,8 +33,15 @@ def make_decode_fn(
     start_id: int,
     end_id: int,
     pad_id: int = 0,
+    mesh=None,
 ):
-    """Jitted (params, features, existing, existing_len) -> tokens [B, L]."""
+    """Jitted (params, features, existing, existing_len) -> tokens [B, L].
+
+    With a mesh, the batch shards over the 'data' axis — each chip beam-
+    searches its slice and XLA all-gathers the token output back
+    (SURVEY.md §6 distributed-comm row: eval hypothesis collection rides
+    an ICI all-gather).
+    """
 
     def fn(params, features, existing, existing_len):
         ctx = model.encode(params, features, existing, existing_len)
@@ -53,7 +61,16 @@ def make_decode_fn(
         )
         return out.tokens
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+    from captionkit.parallel.mesh import batch_sharding, replicated
+
+    repl, bsh = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(repl, bsh, bsh, bsh),
+        out_shardings=NamedSharding(mesh, PartitionSpec()),
+    )
 
 
 def decode_split(
@@ -64,6 +81,7 @@ def decode_split(
     *,
     decode_fn=None,
     results_path: Optional[str] = None,
+    mesh=None,
 ) -> tuple[dict[int, str], dict[str, float]]:
     """Decode a dataset split. Returns ({image_id: caption}, stats).
 
@@ -75,6 +93,7 @@ def decode_split(
         decode_fn = make_decode_fn(
             model, decode_cfg,
             start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
+            mesh=mesh,
         )
     hypotheses: dict[int, str] = {}
     n_decoded = 0
@@ -125,12 +144,14 @@ def evaluate_split(
     *,
     evaluator: Optional[CaptionEvaluator] = None,
     results_path: Optional[str] = None,
+    mesh=None,
 ) -> dict[str, float]:
     """Decode + score a split (needs dataset.references)."""
     if dataset.references is None:
         raise ValueError("dataset has no reference captions to score against")
     hyps, stats = decode_split(
-        model, params, dataset, decode_cfg, results_path=results_path
+        model, params, dataset, decode_cfg, results_path=results_path,
+        mesh=mesh,
     )
     refs = {
         int(img): [" ".join(toks) for toks in dataset.references[int(img)]]

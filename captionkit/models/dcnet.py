@@ -30,11 +30,11 @@ from flax import struct
 from captionkit.models.base import ModelDef, dropout
 from captionkit.nn.attention import (
     AdditiveAttentionParams,
-    additive_attention,
     init_additive_attention,
     project_keys,
 )
-from captionkit.nn.cells import LSTMParams, init_lstm, lstm_cell, lstm_encode
+from captionkit.nn.cells import LSTMParams, init_lstm, lstm_encode
+from captionkit.nn.dispatch import get_attention_fn, get_lstm_cell_fn
 from captionkit.nn.masking import length_mask
 from captionkit.utils.config import ModelConfig
 
@@ -152,8 +152,10 @@ def step(
 ) -> tuple[DCNetState, jax.Array]:
     """One decode step (SURVEY.md §4.1 inner loop, device-resident)."""
     dt = _cdt(cfg)
+    lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
+    attention = get_attention_fn(cfg.use_pallas)
     emb = params.embedding[token]  # [B, E]
-    att_ctx, _ = additive_attention(
+    att_ctx, _ = attention(
         params.attention, ctx.att_keys, ctx.enc_hs, state.h, ctx.mask,
         compute_dtype=dt,
     )  # [B, H]
@@ -161,9 +163,9 @@ def step(
     att_ctx = gate * att_ctx
     parts = [emb, att_ctx]
     if ctx.features is not None and params.vis_attention is not None:
-        vis_ctx, _ = additive_attention(
+        vis_ctx, _ = attention(
             params.vis_attention, ctx.vis_keys, ctx.features, state.h,
-            mask=None, compute_dtype=dt,
+            None, compute_dtype=dt,
         )
         parts.append(vis_ctx)
     x = jnp.concatenate(parts, axis=-1)

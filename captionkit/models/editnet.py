@@ -34,7 +34,6 @@ from flax import struct
 from captionkit.models.base import ModelDef, dropout
 from captionkit.nn.attention import (
     AdditiveAttentionParams,
-    additive_attention,
     init_additive_attention,
     project_keys,
     scma_select,
@@ -42,11 +41,14 @@ from captionkit.nn.attention import (
 from captionkit.nn.cells import (
     CopyLSTMParams,
     LSTMParams,
-    copy_lstm_cell,
     init_copy_lstm,
     init_lstm,
-    lstm_cell,
     lstm_encode,
+)
+from captionkit.nn.dispatch import (
+    get_attention_fn,
+    get_copy_lstm_cell_fn,
+    get_lstm_cell_fn,
 )
 from captionkit.nn.masking import length_mask
 from captionkit.utils.config import ModelConfig
@@ -153,6 +155,9 @@ def step(
 ) -> tuple[EditNetState, jax.Array]:
     """One EditNet decode step — SURVEY.md §4.2's hot loop, one fused trace."""
     dt = _cdt(cfg)
+    lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
+    copy_lstm_cell = get_copy_lstm_cell_fn(cfg.use_pallas)
+    attention = get_attention_fn(cfg.use_pallas)
     emb = params.embedding[token]  # [B, E]
 
     # 1. Attention LSTM.
@@ -162,9 +167,9 @@ def step(
     )
 
     # 2. Visual attention over regions (no mask: all 36 regions valid).
-    v_hat, _ = additive_attention(
+    v_hat, _ = attention(
         params.vis_attention, ctx.vis_keys, ctx.features, h_att,
-        mask=None, compute_dtype=dt,
+        None, compute_dtype=dt,
     )  # [B, F]
     gate = jax.nn.sigmoid(h_att @ params.vis_gate_w + params.vis_gate_b)
     v_hat = gate * v_hat
@@ -172,7 +177,7 @@ def step(
     # 3. SCMA: select a memory cell state from the caption encoder.
     c_star, _ = scma_select(
         params.scma, ctx.scma_keys, ctx.enc_cs, h_att, ctx.mask,
-        mode=cfg.scma_select, compute_dtype=dt,
+        mode=cfg.scma_select, compute_dtype=dt, attention_fn=attention,
     )  # [B, H]
 
     # 4. Copy-LSTM language model.

@@ -103,17 +103,17 @@ def scma_select(
     *,
     mode: str = "soft",
     compute_dtype: jnp.dtype = jnp.float32,
+    attention_fn=None,  # kernel override (captionkit.nn.dispatch)
 ) -> tuple[jax.Array, jax.Array]:
     """Selective Copy Memory Attention: score {h_i} with the decoder query,
     select from {c_i}. Returns (c_star [B, H], weights [B, T])."""
-    _, weights = additive_attention(
+    attn = attention_fn or additive_attention
+    ctx_soft, weights = attn(
         params, keys, memories, query, mask, compute_dtype=compute_dtype
     )
     if mode == "soft":
-        c_star = jnp.einsum(
-            "bt,bth->bh", weights, memories,
-            preferred_element_type=jnp.float32,
-        )
+        # The attention read over `memories` as values IS the soft select.
+        c_star = ctx_soft
     elif mode == "hard":
         # Straight-through: forward = gather at argmax; backward = soft mix.
         soft = jnp.einsum("bt,bth->bh", weights, memories,

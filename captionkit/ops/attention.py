@@ -47,16 +47,18 @@ def _attention_kernel(keys_ref, values_ref, q_ref, wq_ref, v_ref, b_ref,
     qa = jnp.dot(q_ref[...], wq_ref[...], preferred_element_type=dt)
     e = jnp.tanh(keys_ref[...].astype(dt) + qa[:, None, :]
                  + b_ref[0][None, None, :].astype(dt))
-    scores = jnp.einsum("bna,a->bn", e, v_ref[0].astype(dt))
+    # Batched contractions are written as multiply+reduce: Mosaic cannot
+    # lower einsum's batched dot_general forms, and with N<=~50 regions
+    # these reductions are VPU work anyway.
+    scores = jnp.sum(e * v_ref[0][None, None, :].astype(dt), axis=-1)
     TB, N = scores.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (TB, N), 1)
     scores = jnp.where(pos < nvalid_ref[...], scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     ew = jnp.exp(scores - m)
     w = ew / jnp.sum(ew, axis=-1, keepdims=True)
-    ctx = jnp.einsum(
-        "bn,bnv->bv", w.astype(values_ref.dtype), values_ref[...],
-        preferred_element_type=dt,
+    ctx = jnp.sum(
+        w[:, :, None] * values_ref[...].astype(dt), axis=1
     )
     ctx_ref[...] = ctx.astype(ctx_ref.dtype)
     w_ref[...] = w.astype(w_ref.dtype)
@@ -86,12 +88,26 @@ def fused_additive_attention(
     else:
         nvalid = jnp.sum(mask.astype(jnp.int32), axis=-1)
 
-    TB = min(_round_up(B, 8), 64)
-    Bp = _round_up(B, TB)
     Np = _round_up(N, 8)
     Ap = _round_up(A, 128)
     Vp = _round_up(Vd, 128)
     Qp = _round_up(Q, 128)
+    s = jnp.dtype(dt).itemsize
+    # Fit double-buffered blocks in VMEM: keys/values dominate
+    # (TB x Np x [Ap+Vp]); wq is grid-constant but still double-buffered.
+    budget = 12 * 1024 * 1024
+    TB = 8
+    for tb in (256, 128, 64, 32, 16, 8):
+        blocks = (
+            tb * Np * Ap * s + tb * Np * Vp * s + tb * Qp * s
+            + Qp * Ap * s + 2 * Ap * s + tb * 4
+            + tb * Vp * 4 + tb * Np * 4  # fp32 outputs
+        )
+        if 2 * blocks <= budget:
+            TB = tb
+            break
+    TB = min(TB, _round_up(B, 8))
+    Bp = _round_up(B, TB)
 
     keys_p = _pad_axis(_pad_axis(_pad_axis(keys, 2, Ap), 1, Np), 0, Bp)
     vals_p = _pad_axis(_pad_axis(_pad_axis(values.astype(dt), 2, Vp), 1, Np),

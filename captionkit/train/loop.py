@@ -17,6 +17,7 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
+from captionkit.data.prefetch import prefetch_to_device
 from captionkit.data.sources import CaptionDataset
 from captionkit.decode.driver import evaluate_split
 from captionkit.metrics.cider import NgramDocFreq
@@ -32,8 +33,21 @@ from captionkit.train.scst import (
 from captionkit.train.state import TrainState
 from captionkit.train.xe import batch_to_device_dict, make_xe_train_step
 from captionkit.utils.config import CaptionKitConfig
+from captionkit.utils.logging import MetricsLogger
 
 log = logging.getLogger("captionkit.train")
+
+
+def _host_dict(batch) -> dict:
+    """Batch -> host NumPy dict; device placement happens in prefetch."""
+    return {
+        "features": batch.features,
+        "existing": batch.existing,
+        "existing_len": batch.existing_len,
+        "target": batch.target,
+        "target_len": batch.target_len,
+        "valid": batch.valid,
+    }
 
 
 class AverageMeter:
@@ -79,6 +93,7 @@ def run_xe_training(
     mesh=None,
     ckpt: Optional[CheckpointManager] = None,
     max_steps: Optional[int] = None,
+    metrics_logger: Optional[MetricsLogger] = None,
 ) -> tuple[TrainState, TrainReport]:
     """Cross-entropy phase (reference per-model train script, SURVEY.md §4.1).
 
@@ -100,12 +115,13 @@ def run_xe_training(
             AverageMeter(), AverageMeter(), AverageMeter()
         )
         t0 = time.perf_counter()
-        for batch in train_dataset.batches(
-            cfg.data.batch_size, shuffle=True, seed=tcfg.seed + epoch
-        ):
-            dev_batch = batch_to_device_dict(batch)
-            if mesh is not None:
-                dev_batch = shard_batch_arrays(mesh, dev_batch)
+        host_batches = (
+            _host_dict(b)
+            for b in train_dataset.batches(
+                cfg.data.batch_size, shuffle=True, seed=tcfg.seed + epoch
+            )
+        )
+        for dev_batch in prefetch_to_device(host_batches, mesh=mesh):
             state, metrics = step_fn(state, dev_batch)
             steps_done += 1
             meter_loss.update(float(metrics["loss"]))
@@ -118,6 +134,12 @@ def run_xe_training(
                     epoch, steps_done, meter_loss.avg, meter_acc.avg,
                     meter_bt.avg,
                 )
+                if metrics_logger is not None:
+                    metrics_logger.log(steps_done, {
+                        "train/loss": meter_loss.avg,
+                        "train/top5_acc": meter_acc.avg,
+                        "train/sec_per_step": meter_bt.avg,
+                    })
             if max_steps is not None and steps_done >= max_steps:
                 break
 
@@ -127,6 +149,8 @@ def run_xe_training(
         if val_dataset is not None and (epoch + 1) % tcfg.eval_every_epochs == 0:
             cider = _validate(model, state, val_dataset, cfg)
             epoch_stats["val_cider"] = cider
+            if metrics_logger is not None:
+                metrics_logger.log(steps_done, {"val/cider": cider})
             improved = cider > report.best_metric
             if improved:
                 report.best_metric = cider
@@ -172,6 +196,7 @@ def run_scst_training(
     ckpt: Optional[CheckpointManager] = None,
     df: Optional[NgramDocFreq] = None,
     max_steps: Optional[int] = None,
+    metrics_logger: Optional[MetricsLogger] = None,
 ) -> tuple[TrainState, TrainReport]:
     """SCST fine-tuning phase (SURVEY.md §4.4)."""
     if train_dataset.references is None:
@@ -217,6 +242,10 @@ def run_scst_training(
                     "scst epoch %d step %d mean advantage %.4f",
                     epoch, steps_done, meter_rw.avg,
                 )
+                if metrics_logger is not None:
+                    metrics_logger.log(steps_done, {
+                        "scst/mean_advantage": meter_rw.avg,
+                    })
             if max_steps is not None and steps_done >= max_steps:
                 break
         stats = {"epoch": epoch, "mean_advantage": meter_rw.avg}

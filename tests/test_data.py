@@ -119,3 +119,26 @@ def test_synthetic_source():
     np.testing.assert_array_equal(
         b.features[0], np.asarray(ds.features)[b.image_id[0]]
     )
+
+
+def test_prefetch_to_device_order_and_count():
+    import jax
+    from captionkit.data.prefetch import prefetch_to_device
+
+    batches = [{"x": np.full((4,), i, np.int32)} for i in range(5)]
+    out = list(prefetch_to_device(batches, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        assert int(b["x"][0]) == i
+
+
+def test_prefetch_with_mesh_shards_batch_axis():
+    import jax
+    from captionkit.data.prefetch import prefetch_to_device
+    from captionkit.parallel import make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    batches = [{"x": np.arange(16, dtype=np.int32).reshape(16, 1)}]
+    (out,) = prefetch_to_device(batches, mesh=mesh)
+    assert len(out["x"].sharding.device_set) == 8

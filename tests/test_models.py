@@ -136,3 +136,40 @@ def test_dropout_only_in_train_mode():
 def test_registry_unknown_arch():
     with pytest.raises(KeyError):
         get_model(ModelConfig(arch="transformer", **CFG))
+
+
+def test_dcnet_visual_flag():
+    """dcnet_use_visual=True adds a visual attention head that changes
+    logits when features change (SURVEY.md §8.4 open item)."""
+    cfg = ModelConfig(arch="dcnet", dcnet_use_visual=True, **CFG)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    assert params.vis_attention is not None
+    rng = np.random.default_rng(0)
+    feats_a = jnp.asarray(
+        rng.standard_normal((2, cfg.num_regions, cfg.feat_dim)), jnp.float32
+    )
+    feats_b = feats_a + 1.0
+    existing = jnp.asarray([[2, 5, 6, 3], [2, 7, 3, 0]], jnp.int32)
+    lens = jnp.asarray([4, 3], jnp.int32)
+    tok = jnp.asarray([2, 2], jnp.int32)
+
+    def logits_for(feats):
+        ctx = model.encode(params, feats, existing, lens)
+        state = model.init_state(params, ctx)
+        _, logits = model.step(params, ctx, state, tok)
+        return np.asarray(logits)
+
+    assert not np.allclose(logits_for(feats_a), logits_for(feats_b))
+    # Text-only DCNet must ignore features entirely.
+    cfg0 = ModelConfig(arch="dcnet", dcnet_use_visual=False, **CFG)
+    model0 = get_model(cfg0)
+    params0 = model0.init(jax.random.PRNGKey(0))
+
+    def logits0(feats):
+        ctx = model0.encode(params0, feats, existing, lens)
+        state = model0.init_state(params0, ctx)
+        _, logits = model0.step(params0, ctx, state, tok)
+        return np.asarray(logits)
+
+    np.testing.assert_array_equal(logits0(feats_a), logits0(feats_b))

@@ -1,0 +1,129 @@
+"""Offline data-prep round trip: Karpathy JSON + features + AoANet captions
+-> artifacts -> CaptionDataset -> decode-ready batches."""
+
+import json
+
+import numpy as np
+import pytest
+
+from captionkit.data.prepare import load_prepared_split, prepare_from_karpathy
+
+
+def _karpathy_fixture(tmp_path, n_train=4, n_val=2):
+    rng = np.random.default_rng(0)
+    images = []
+    existing = {"train": [], "val": []}
+    img_id = 100
+    sents = [
+        "a man rides a horse", "a dog runs in the park",
+        "two people sit on a bench", "a cat sleeps on the couch",
+        "a bird flies over the water", "a child eats a slice of pizza",
+    ]
+    for split, n in (("train", n_train), ("restval", 1), ("val", n_val)):
+        for _ in range(n):
+            caps = [sents[rng.integers(len(sents))].split() for _ in range(3)]
+            images.append({
+                "split": split,
+                "cocoid": img_id,
+                "filename": f"{img_id}.jpg",
+                "sentences": [{"tokens": c} for c in caps],
+            })
+            key = "train" if split in ("train", "restval") else "val"
+            existing[key].append(
+                {"image_id": img_id, "caption": " ".join(caps[0][:-1])}
+            )
+            img_id += 1
+    kpath = str(tmp_path / "karpathy.json")
+    with open(kpath, "w") as f:
+        json.dump({"images": images, "dataset": "coco"}, f)
+    epaths = {}
+    for split, rows in existing.items():
+        p = str(tmp_path / f"aoanet_{split}.json")
+        with open(p, "w") as f:
+            json.dump(rows, f)
+        epaths[split] = p
+    feats = {}
+    for split, n in (("train", n_train + 1), ("val", n_val)):
+        arr = rng.standard_normal((n, 4, 8)).astype(np.float32)
+        p = str(tmp_path / f"feats_{split}.npy")
+        np.save(p, arr)
+        feats[split] = p
+    return kpath, epaths, feats
+
+
+def test_prepare_and_load_roundtrip(tmp_path):
+    kpath, epaths, feats = _karpathy_fixture(tmp_path)
+    out = prepare_from_karpathy(
+        karpathy_json=kpath,
+        output_dir=str(tmp_path / "prep"),
+        existing_captions=epaths,
+        features=feats,
+        min_word_freq=1,
+        max_len=12,
+        captions_per_image=2,
+    )
+    assert set(out) == {"train", "val"}
+    # restval folds into train: 5 train images x 2 captions = 10 rows.
+    with open(out["train"].captions_path) as f:
+        rows = json.load(f)
+    assert len(rows) == 10
+    ds = load_prepared_split(str(tmp_path / "prep"), "train")
+    assert ds.size == 10
+    assert ds.features.shape == (5, 4, 8)
+    assert ds.references is not None and len(ds.references) == 5
+    # image_index maps caption rows to feature rows (image-major, 2 per).
+    np.testing.assert_array_equal(
+        ds.image_index, np.repeat(np.arange(5), 2)
+    )
+    b = next(ds.batches(4))
+    assert b.features.shape == (4, 4, 8)
+    assert b.target is not None
+    # Decode an encoded existing caption back to words: must be the AoANet
+    # caption with <unk> for sub-threshold words.
+    words = ds.vocab.decode(ds.existing[0])
+    assert len(words) >= 2
+
+
+def test_prepare_missing_existing_caption_is_loud(tmp_path):
+    kpath, epaths, feats = _karpathy_fixture(tmp_path)
+    with open(epaths["val"]) as f:
+        rows = json.load(f)
+    with open(epaths["val"], "w") as f:
+        json.dump(rows[:-1], f)  # drop one image's existing caption
+    with pytest.raises(KeyError, match="no existing"):
+        prepare_from_karpathy(
+            karpathy_json=kpath,
+            output_dir=str(tmp_path / "prep2"),
+            existing_captions=epaths,
+            min_word_freq=1, max_len=12, captions_per_image=2,
+        )
+
+
+def test_prepare_feature_count_mismatch_is_loud(tmp_path):
+    kpath, epaths, feats = _karpathy_fixture(tmp_path)
+    np.save(feats["val"], np.zeros((1, 4, 8), np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        prepare_from_karpathy(
+            karpathy_json=kpath,
+            output_dir=str(tmp_path / "prep3"),
+            existing_captions=epaths,
+            features=feats,
+            min_word_freq=1, max_len=12, captions_per_image=2,
+        )
+
+
+def test_prepare_wordmap_from_train_only(tmp_path):
+    kpath, epaths, feats = _karpathy_fixture(tmp_path)
+    prepare_from_karpathy(
+        karpathy_json=kpath,
+        output_dir=str(tmp_path / "prep4"),
+        existing_captions=epaths,
+        min_word_freq=1, max_len=12, captions_per_image=2, seed=1,
+    )
+    with open(str(tmp_path / "prep4" / "PREP_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["vocab_size"] > 4
+    from captionkit.data.vocab import Vocab
+
+    v = Vocab.load(manifest["wordmap"])
+    assert v.pad == 0

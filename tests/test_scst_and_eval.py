@@ -199,3 +199,19 @@ def test_scst_loop_smoke():
     )
     assert int(state2.step) == 2
     assert report.epochs_run == 1
+
+
+def test_decode_split_on_mesh_matches_single_device():
+    """Batch-sharded DP decode over 8 virtual devices must produce the
+    same captions as single-device decode (SURVEY.md §6 all-gather row)."""
+    from captionkit.parallel import make_mesh
+    from captionkit.utils.config import DecodeConfig
+
+    src, mcfg, model, tcfg, state = _setup(num_images=16)
+    ev = src.eval_view()
+    dcfg = DecodeConfig(method="beam", beam_size=3, max_decode_len=10,
+                        batch_size=8)
+    hyps_1, _ = decode_split(model, state.params, ev, dcfg)
+    mesh = make_mesh((8,), ("data",))
+    hyps_8, _ = decode_split(model, state.params, ev, dcfg, mesh=mesh)
+    assert hyps_1 == hyps_8
