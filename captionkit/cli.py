@@ -195,6 +195,68 @@ def cmd_train_scst(args) -> int:
     return 0
 
 
+def cmd_decode_stacked(args) -> int:
+    """DCNet -> EditNet stacked editing over a split (SURVEY.md §1:
+    the two editors combined by running one after the other)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from captionkit.decode.stacked import make_stacked_decode_fn
+    from captionkit.metrics.eval import CaptionEvaluator
+    from captionkit.models import get_model
+
+    cfg = _apply_overrides(get_named_config(args.config), args.set)
+    _, eval_ds = _load_dataset(args, cfg)
+    vocab = eval_ds.vocab
+    mcfg_d = dataclasses.replace(cfg.model, arch="dcnet",
+                                 vocab_size=len(vocab))
+    mcfg_e = dataclasses.replace(cfg.model, arch="editnet",
+                                 vocab_size=len(vocab))
+    dcnet = get_model(mcfg_d)
+    editnet = get_model(mcfg_e)
+
+    def load(model, path):
+        if path:
+            from captionkit.train.checkpoint import load_params_npz
+
+            return load_params_npz(model.init(jax.random.PRNGKey(0)), path)
+        return model.init(jax.random.PRNGKey(args.seed))
+
+    dp = load(dcnet, args.dcnet_params)
+    ep = load(editnet, args.editnet_params)
+    first = dataclasses.replace(cfg.decode, method="greedy", beam_size=1)
+    fn = make_stacked_decode_fn(
+        dcnet, editnet, first_stage=first, second_stage=cfg.decode,
+        start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
+    )
+    hyps = {}
+    for batch in eval_ds.batches(cfg.decode.batch_size):
+        toks = np.asarray(jax.device_get(fn(
+            dp, ep, jnp.asarray(batch.features),
+            jnp.asarray(batch.existing), jnp.asarray(batch.existing_len),
+        )))
+        for row, valid, img in zip(toks, batch.valid, batch.image_id):
+            if valid:
+                hyps[int(img)] = vocab.decode_to_string(row)
+    out = {"captions": len(hyps)}
+    if eval_ds.references is not None and not args.no_metrics:
+        refs = {
+            i: [" ".join(t) for t in eval_ds.references[i]] for i in hyps
+        }
+        out.update(CaptionEvaluator().evaluate(refs, hyps))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                [{"image_id": k, "caption": v}
+                 for k, v in sorted(hyps.items())], f,
+            )
+    print(json.dumps({k: round(float(v), 4) for k, v in out.items()},
+                     indent=2))
+    return 0
+
+
 def cmd_convert(args) -> int:
     from captionkit.convert.torch_import import convert_torch_checkpoint
 
@@ -237,6 +299,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", help="results JSON path")
     sp.add_argument("--no-metrics", action="store_true")
 
+    sp = sub.add_parser("decode-stacked",
+                        help="DCNet->EditNet stacked editing of a split")
+    add_common(sp, with_params=False)
+    sp.add_argument("--dcnet-params", dest="dcnet_params")
+    sp.add_argument("--editnet-params", dest="editnet_params")
+    sp.add_argument("--out", help="results JSON path")
+    sp.add_argument("--no-metrics", action="store_true")
+
     sp = sub.add_parser("train-xe", help="cross-entropy training")
     add_common(sp, with_params=False)
     sp.add_argument("--max-steps", type=int)
@@ -257,6 +327,7 @@ def build_parser() -> argparse.ArgumentParser:
 _COMMANDS = {
     "configs": cmd_configs,
     "decode": cmd_decode,
+    "decode-stacked": cmd_decode_stacked,
     "train-xe": cmd_train_xe,
     "train-scst": cmd_train_scst,
     "convert": cmd_convert,

@@ -81,7 +81,13 @@ def beam_search(
     (alpha=0 reproduces the reference's raw-sum ranking [R])."""
     K = beam_size
     B = jax.tree.leaves(ctx)[0].shape[0]
-    ctx_k = _repeat_ctx(ctx, K)
+    # Beam-aware models expand only the leaves that need per-beam copies
+    # (heavy attention context stays per-image; grouped queries handle the
+    # rest) — the generic fallback repeats everything.
+    if model.beam_expand is not None:
+        ctx_k = model.beam_expand(ctx, K)
+    else:
+        ctx_k = _repeat_ctx(ctx, K)
     model_state = model.init_state(params, ctx_k)  # leaves [B*K, ...]
 
     def rank(scores: jax.Array, lengths: jax.Array) -> jax.Array:

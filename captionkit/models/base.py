@@ -39,6 +39,12 @@ class ModelDef:
     encode: EncodeFn
     init_state: InitStateFn
     step: StepFn
+    # Optional beam-aware context expansion: (ctx, k) -> ctx where only the
+    # leaves that genuinely need a per-beam copy are repeated; heavy
+    # attention keys/values stay per-image and the attention layers handle
+    # grouped [B*K] queries (captionkit.nn.attention). None => beam search
+    # falls back to repeating every leaf.
+    beam_expand: Optional[Callable[[Any, int], Any]] = None
 
 
 def teacher_forcing_logits(

@@ -117,7 +117,9 @@ def encode(
     dt = _cdt(cfg)
     emb = params.embedding[existing]  # [B, T, E]
     hs, cs = lstm_encode(params.encoder, emb, existing_len, compute_dtype=dt)
-    keys = project_keys(params.attention, hs, compute_dtype=dt)
+    # Stored in compute dtype: the decode loop re-reads these from HBM
+    # every step (×beam_width) — bandwidth, not FLOPs, bounds the step.
+    keys = project_keys(params.attention, hs, compute_dtype=dt).astype(dt)
     mask = length_mask(existing_len, existing.shape[1])
     # Decoder init from the final (frozen-at-length) encoder state — the
     # tutorial-family init_hidden_state pattern (SURVEY.md §3.2). ⟦cite⟧
@@ -128,17 +130,27 @@ def encode(
     vis_keys = None
     feats = None
     if cfg.dcnet_use_visual and params.vis_attention is not None:
-        feats = features
+        feats = features.astype(dt)
         vis_keys = project_keys(params.vis_attention, features,
-                                compute_dtype=dt)
+                                compute_dtype=dt).astype(dt)
     return DCNetContext(
-        enc_hs=hs, att_keys=keys, mask=mask, h0=h0, c0=c0,
+        enc_hs=hs.astype(dt), att_keys=keys, mask=mask, h0=h0, c0=c0,
         features=feats, vis_keys=vis_keys,
     )
 
 
 def init_state(params: DCNetParams, ctx: DCNetContext) -> DCNetState:
     return DCNetState(h=ctx.h0, c=ctx.c0)
+
+
+def beam_expand(ctx: DCNetContext, k: int) -> DCNetContext:
+    """Repeat only the decoder-init states (become per-beam recurrent
+    state); encoder states/keys/masks stay per-image for grouped
+    attention."""
+    return ctx.replace(
+        h0=jnp.repeat(ctx.h0, k, axis=0),
+        c0=jnp.repeat(ctx.c0, k, axis=0),
+    )
 
 
 def step(
@@ -171,7 +183,11 @@ def step(
     x = jnp.concatenate(parts, axis=-1)
     h, c = lstm_cell(params.decoder, x, state.h, state.c, compute_dtype=dt)
     out = dropout(h, cfg.dropout, rng, train)
-    logits = (out @ params.fc_w + params.fc_b).astype(jnp.float32)
+    logits = (
+        jnp.dot(out.astype(dt), params.fc_w.astype(dt),
+                preferred_element_type=jnp.float32)
+        + params.fc_b
+    ).astype(jnp.float32)
     return DCNetState(h=h, c=c), logits
 
 
@@ -186,4 +202,5 @@ def make_model(cfg: ModelConfig) -> ModelDef:
         step=lambda params, ctx, state, token, rng=None, train=False: step(
             params, cfg, ctx, state, token, rng, train
         ),
+        beam_expand=None if cfg.use_pallas else beam_expand,
     )

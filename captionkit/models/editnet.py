@@ -125,23 +125,35 @@ def encode(
     dt = _cdt(cfg)
     emb = params.embedding[existing]
     hs, cs = lstm_encode(params.encoder, emb, existing_len, compute_dtype=dt)
+    # Context tensors are stored in compute dtype: the decode loop re-reads
+    # features/keys/encoder states from HBM every step (×beam_width), so
+    # bf16 storage halves the dominant HBM traffic of the step
+    # (perf breakdown: the beam step is bandwidth-bound, not FLOP-bound).
     return EditNetContext(
-        features=features,
+        features=features.astype(dt),
         vis_keys=project_keys(params.vis_attention, features,
-                              compute_dtype=dt),
-        v_mean=jnp.mean(features, axis=1),
-        enc_hs=hs,
-        enc_cs=cs,
-        scma_keys=project_keys(params.scma, hs, compute_dtype=dt),
+                              compute_dtype=dt).astype(dt),
+        v_mean=jnp.mean(features, axis=1).astype(dt),
+        enc_hs=hs.astype(dt),
+        enc_cs=cs.astype(dt),
+        scma_keys=project_keys(params.scma, hs, compute_dtype=dt).astype(dt),
         mask=length_mask(existing_len, existing.shape[1]),
     )
 
 
 def init_state(params: EditNetParams, ctx: EditNetContext) -> EditNetState:
-    B = ctx.features.shape[0]
+    # Sized from v_mean: under beam expansion it is the per-beam leaf
+    # (features stay per-image for grouped attention).
+    B = ctx.v_mean.shape[0]
     H = params.fc_w.shape[0]
     z = jnp.zeros((B, H), jnp.float32)
     return EditNetState(h_att=z, c_att=z, h_lang=z, c_lang=z)
+
+
+def beam_expand(ctx: EditNetContext, k: int) -> EditNetContext:
+    """Repeat only v_mean (consumed in the att-LSTM input concat, so it
+    must be [B*K]); all attention keys/values/masks stay per-image."""
+    return ctx.replace(v_mean=jnp.repeat(ctx.v_mean, k, axis=0))
 
 
 def step(
@@ -188,7 +200,13 @@ def step(
     )
 
     out = dropout(h_lang, cfg.dropout, rng, train)
-    logits = (out @ params.fc_w + params.fc_b).astype(jnp.float32)
+    # Vocab head on the MXU in compute dtype (the single largest matmul of
+    # the step: [B, H] x [H, ~9.5k]); logits accumulate in fp32.
+    logits = (
+        jnp.dot(out.astype(dt), params.fc_w.astype(dt),
+                preferred_element_type=jnp.float32)
+        + params.fc_b
+    ).astype(jnp.float32)
     return (
         EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang, c_lang=c_lang),
         logits,
@@ -206,4 +224,8 @@ def make_model(cfg: ModelConfig) -> ModelDef:
         step=lambda params, ctx, state, token, rng=None, train=False: step(
             params, cfg, ctx, state, token, rng, train
         ),
+        # Grouped-query attention lives in the jnp path only; the fused
+        # Pallas attention expects matching batch dims, so Pallas configs
+        # fall back to full ctx replication.
+        beam_expand=None if cfg.use_pallas else beam_expand,
     )

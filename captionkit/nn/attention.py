@@ -73,25 +73,52 @@ def additive_attention(
     params: AdditiveAttentionParams,
     keys: jax.Array,  # [B, N, A]   pre-projected (project_keys)
     values: jax.Array,  # [B, N, V] what gets mixed (features / enc states)
-    query: jax.Array,  # [B, q_dim]
+    query: jax.Array,  # [B*G, q_dim] — G > 1 is the grouped (beam) form
     mask: Optional[jax.Array] = None,  # [B, N] bool, True = attendable
     *,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (context [B, V], weights [B, N])."""
+    """Returns (context [B*G, V], weights [B*G, N]).
+
+    Grouped queries: when the query batch is G× the key batch (beam search
+    flattens B images × K beams into B*K queries over per-image context),
+    keys/values stay UNREPLICATED — the K-fold HBM traffic and memory of
+    repeating 36×2048 features per beam was the dominant decode cost.
+    Rows of a group must be contiguous (beam b*K..b*K+K-1), which is how
+    decode/beam.py lays them out.
+    """
     dt = compute_dtype
+    kB = keys.shape[0]
+    qB = query.shape[0]
     q = jnp.dot(query.astype(dt), params.w_q.astype(dt),
-                preferred_element_type=jnp.float32)  # [B, A]
-    e = jnp.tanh(keys + q[:, None, :] + params.b)  # [B, N, A]
-    scores = jnp.einsum("bna,a->bn", e, params.v)  # fp32
+                preferred_element_type=jnp.float32)  # [qB, A]
+    if qB == kB:
+        e = jnp.tanh(keys + q[:, None, :] + params.b)  # [B, N, A]
+        scores = jnp.einsum("bna,a->bn", e, params.v)  # fp32
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        weights = jax.nn.softmax(scores, axis=-1)  # [B, N]
+        ctx = jnp.einsum(
+            "bn,bnv->bv", weights.astype(values.dtype), values,
+            preferred_element_type=jnp.float32,
+        )
+        return ctx, weights
+    if qB % kB:
+        raise ValueError(
+            f"query batch {qB} is not a multiple of key batch {kB}"
+        )
+    G = qB // kB
+    qg = q.reshape(kB, G, -1)
+    e = jnp.tanh(keys[:, None, :, :] + qg[:, :, None, :] + params.b)
+    scores = jnp.einsum("bgna,a->bgn", e, params.v)
     if mask is not None:
-        scores = jnp.where(mask, scores, NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1)  # [B, N]
+        scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)  # [B, G, N]
     ctx = jnp.einsum(
-        "bn,bnv->bv", weights.astype(values.dtype), values,
+        "bgn,bnv->bgv", weights.astype(values.dtype), values,
         preferred_element_type=jnp.float32,
     )
-    return ctx, weights
+    return ctx.reshape(qB, -1), weights.reshape(qB, scores.shape[-1])
 
 
 def scma_select(
@@ -116,13 +143,16 @@ def scma_select(
         c_star = ctx_soft
     elif mode == "hard":
         # Straight-through: forward = gather at argmax; backward = soft mix.
-        soft = jnp.einsum("bt,bth->bh", weights, memories,
-                          preferred_element_type=jnp.float32)
-        idx = jnp.argmax(weights, axis=-1)  # [B]
+        idx = jnp.argmax(weights, axis=-1).astype(jnp.int32)  # [qB]
+        kB = memories.shape[0]
+        qB = idx.shape[0]
+        G = qB // kB
         hard = jnp.take_along_axis(
-            memories, idx[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
-        c_star = soft + jax.lax.stop_gradient(hard - soft)
+            memories,
+            idx.reshape(kB, G)[:, :, None],
+            axis=1,
+        ).reshape(qB, -1)
+        c_star = ctx_soft + jax.lax.stop_gradient(hard - ctx_soft)
     else:
         raise ValueError(f"unknown SCMA mode {mode!r}")
     return c_star, weights

@@ -155,3 +155,49 @@ def test_length_mask():
         np.asarray(m),
         [[False] * 4, [True, True, False, False], [True] * 4],
     )
+
+
+def test_grouped_attention_matches_repeated():
+    """Grouped [B*G] queries over [B] keys/values must equal attention over
+    fully repeated keys/values (the beam-search memory optimization)."""
+    key = jax.random.PRNGKey(20)
+    B, G, N, E, Q, A = 3, 4, 6, 8, 5, 7
+    p = init_additive_attention(key, E, Q, A)
+    enc = jax.random.normal(jax.random.PRNGKey(21), (B, N, E))
+    keys = project_keys(p, enc)
+    q = jax.random.normal(jax.random.PRNGKey(22), (B * G, Q))
+    lengths = jnp.asarray([6, 3, 1])
+    mask = jnp.arange(N)[None, :] < lengths[:, None]
+
+    ctx_g, w_g = additive_attention(p, keys, enc, q, mask)
+    enc_r = jnp.repeat(enc, G, axis=0)
+    keys_r = jnp.repeat(keys, G, axis=0)
+    mask_r = jnp.repeat(mask, G, axis=0)
+    ctx_r, w_r = additive_attention(p, keys_r, enc_r, q, mask_r)
+    np.testing.assert_allclose(np.asarray(ctx_g), np.asarray(ctx_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_g), np.asarray(w_r), atol=1e-6)
+
+
+def test_grouped_scma_hard_matches_repeated():
+    key = jax.random.PRNGKey(23)
+    B, G, T, H, A = 2, 3, 5, 4, 6
+    p = init_additive_attention(key, H, H, A)
+    hs = jax.random.normal(jax.random.PRNGKey(24), (B, T, H))
+    cs = jax.random.normal(jax.random.PRNGKey(25), (B, T, H))
+    q = jax.random.normal(jax.random.PRNGKey(26), (B * G, H))
+    keys = project_keys(p, hs)
+    c_g, _ = scma_select(p, keys, cs, q, mode="hard")
+    c_r, _ = scma_select(
+        p, jnp.repeat(keys, G, axis=0), jnp.repeat(cs, G, axis=0), q,
+        mode="hard",
+    )
+    np.testing.assert_allclose(np.asarray(c_g), np.asarray(c_r), atol=1e-5)
+
+
+def test_grouped_attention_rejects_non_multiple():
+    p = init_additive_attention(jax.random.PRNGKey(27), 4, 4, 4)
+    enc = jnp.zeros((3, 2, 4))
+    keys = project_keys(p, enc)
+    with np.testing.assert_raises(ValueError):
+        additive_attention(p, keys, enc, jnp.zeros((7, 4)), None)
