@@ -133,6 +133,11 @@ def cmd_train_xe(args) -> int:
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                              keep=cfg.train.keep_checkpoints)
+    if getattr(args, "resume", False) and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        logging.getLogger("captionkit.cli").info(
+            "resumed from step %s", int(state.step)
+        )
     mlogger = None
     if args.run_dir:
         from captionkit.utils.logging import MetricsLogger
@@ -311,6 +316,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(sp, with_params=False)
     sp.add_argument("--max-steps", type=int)
     sp.add_argument("--no-val", action="store_true")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in "
+                         "train.checkpoint_dir")
 
     sp = sub.add_parser("train-scst", help="SCST fine-tuning")
     add_common(sp)
