@@ -74,7 +74,7 @@ def encode_captions(
 
 def make_batches(
     *,
-    features: Optional[np.ndarray],
+    features,  # [N, R, F] array, callable(indices)->rows, or None
     existing: np.ndarray,
     existing_len: np.ndarray,
     target: Optional[np.ndarray] = None,
@@ -109,7 +109,9 @@ def make_batches(
             idx = np.concatenate([idx, fill])
         valid = np.zeros((batch_size,), dtype=bool)
         valid[:b] = True
-        if features is not None:
+        if callable(features):
+            feats = np.asarray(features(idx), dtype=np.float32)
+        elif features is not None:
             feats = features[idx].astype(np.float32, copy=False)
         else:
             feats = np.zeros((batch_size, *feat_shape), dtype=np.float32)

@@ -20,11 +20,15 @@ from captionkit.data.pipeline import Batch, encode_captions, make_batches
 from captionkit.data.vocab import Vocab
 
 
-def load_hdf5_features(path: str, dataset: str = "features") -> np.ndarray:
+def load_hdf5_features(path: str, dataset: str = "features"):
     """Load [N, R, F] features from the reference's HDF5 layout. h5py is an
-    optional dependency; .npy/.npz paths are accepted as fallbacks."""
+    optional dependency; .npy/.npz paths are accepted as fallbacks. .npy
+    files go through the native mmap FeatureStore when it is built
+    (threaded GIL-free row gather, captionkit/data/faststore.py)."""
     if path.endswith(".npy"):
-        return np.load(path, mmap_mode="r")
+        from captionkit.data.faststore import FeatureStore
+
+        return FeatureStore(path)
     if path.endswith(".npz"):
         return np.load(path)[dataset]
     try:
@@ -119,9 +123,20 @@ class CaptionDataset:
         drop_remainder: bool = False,
         feat_shape: tuple[int, int] = (36, 2048),
     ) -> Iterator[Batch]:
+        # Per-batch gather (never materialize the whole split's features):
+        # rows are selected through image_index lazily, using the native
+        # mmap feature store when the backing file supports it.
         features = None
         if self.features is not None:
-            features = np.asarray(self.features)[self.image_index]
+            source = self.features
+            image_index = self.image_index
+
+            def features(idx, _src=source, _map=image_index):
+                rows = _map[idx]
+                if hasattr(_src, "gather"):
+                    return _src.gather(rows)
+                return np.asarray(_src)[rows]
+
         return make_batches(
             features=features,
             existing=self.existing,
