@@ -72,6 +72,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from captionkit.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from captionkit.decode import beam_search
     from captionkit.models import get_model
     from captionkit.utils.config import ModelConfig

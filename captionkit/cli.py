@@ -358,6 +358,9 @@ def main(argv=None) -> int:
         from captionkit.utils.logging import enable_nan_debugging
 
         enable_nan_debugging()
+    from captionkit.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return _COMMANDS[args.cmd](args)
 
 

@@ -102,7 +102,6 @@ def prepare_from_karpathy(
         exist_lens: list[int] = []
         image_ids: list[int] = []
         refs: dict[int, list[list[str]]] = {}
-        feature_rows: list[int] = []
 
         for row, img in enumerate(images):
             img_id = int(img.get("cocoid", img.get("imgid")))
@@ -132,7 +131,6 @@ def prepare_from_karpathy(
                 enc_exist.append(e_ids)
                 exist_lens.append(e_len)
                 image_ids.append(img_id)
-                feature_rows.append(row)
 
         def _dump(name: str, obj) -> str:
             path = os.path.join(output_dir, f"{split.upper()}_{name}.json")
@@ -160,9 +158,17 @@ def prepare_from_karpathy(
                 )
             # Stored per image (caption rows are image-major with exactly
             # captions_per_image rows each; CaptionDataset rebuilds the
-            # row->image mapping from that ratio).
+            # row->image mapping from that ratio). Copied in chunks so a
+            # COCO-scale array (~33GB) never materializes in RAM.
             dst = os.path.join(output_dir, f"{split.upper()}_FEATURES.npy")
-            np.save(dst, np.asarray(src))
+            out_mm = np.lib.format.open_memmap(
+                dst, mode="w+", dtype=src.dtype, shape=src.shape
+            )
+            chunk = 1024
+            for lo in range(0, src.shape[0], chunk):
+                out_mm[lo: lo + chunk] = src[lo: lo + chunk]
+            out_mm.flush()
+            del out_mm
             paths.features_path = dst
         out[split] = paths
 

@@ -135,7 +135,17 @@ class CaptionDataset:
                 rows = _map[idx]
                 if hasattr(_src, "gather"):
                     return _src.gather(rows)
-                return np.asarray(_src)[rows]
+                if isinstance(_src, np.ndarray):
+                    return _src[rows]
+                # h5py-style dataset: fancy indexing requires sorted unique
+                # indices; gather via sort + inverse permutation so only the
+                # requested rows are read (never the whole dataset).
+                order = np.argsort(rows, kind="stable")
+                uniq, inverse = np.unique(rows[order], return_inverse=True)
+                block = _src[uniq]
+                out = np.empty((len(rows), *block.shape[1:]), block.dtype)
+                out[order] = block[inverse]
+                return out
 
         return make_batches(
             features=features,

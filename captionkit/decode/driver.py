@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec
 
 from captionkit.data.sources import CaptionDataset
 from captionkit.decode.beam import beam_search
-from captionkit.decode.greedy import greedy_decode
+from captionkit.decode.greedy import greedy_decode, sample_decode
 from captionkit.metrics.eval import CaptionEvaluator
 from captionkit.models.base import ModelDef
 from captionkit.utils.config import DecodeConfig
@@ -43,6 +43,9 @@ def make_decode_fn(
     an ICI all-gather).
     """
 
+    if decode_cfg.method not in ("greedy", "beam", "sample"):
+        raise ValueError(f"unknown decode method {decode_cfg.method!r}")
+
     def fn(params, features, existing, existing_len):
         ctx = model.encode(params, features, existing, existing_len)
         if decode_cfg.method == "beam" and decode_cfg.beam_size > 1:
@@ -54,6 +57,14 @@ def make_decode_fn(
                 length_penalty=decode_cfg.length_penalty,
             )
             return res.tokens
+        if decode_cfg.method == "sample":
+            out = sample_decode(
+                model, params, ctx, jax.random.PRNGKey(0),
+                start_id=start_id, end_id=end_id, pad_id=pad_id,
+                max_len=decode_cfg.max_decode_len,
+                temperature=decode_cfg.temperature,
+            )
+            return out.tokens
         out = greedy_decode(
             model, params, ctx,
             start_id=start_id, end_id=end_id, pad_id=pad_id,

@@ -54,9 +54,11 @@ def meteor_score(
     references: Mapping[object, Sequence[str]],
     hypotheses: Mapping[object, str],
 ) -> float:
-    """METEOR 1.5 via the jar's stdin/stdout line protocol
-    (SURVEY.md §4.5: persistent Java pipe — here one batched invocation).
-    """
+    """METEOR 1.5 via the jar's stdio protocol, mirroring pycocoevalcap's
+    Meteor wrapper (SURVEY.md §4.5): one SCORE line per image read back
+    IMMEDIATELY (interleaved, so pipe buffers never fill), then a single
+    EVAL line carrying every per-image stats blob; the jar replies with one
+    score per image followed by the stats-aggregated corpus score."""
     jar = _find(_METEOR_PATHS)
     if jar is None or not _have_java():
         raise RuntimeError("METEOR jar/JVM not available on this host")
@@ -65,25 +67,23 @@ def meteor_score(
         ["java", "-jar", jar, "-", "-", "-stdio", "-l", "en", "-norm"],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
     )
-    eval_lines = []
-    for i in ids:
-        refs = "|||".join(r.replace("|||", " ") for r in references[i])
-        line = f"SCORE ||| {refs} ||| {hypotheses[i]}"
-        proc.stdin.write(line + "\n")
-    proc.stdin.flush()
-    stats = [proc.stdout.readline().strip() for _ in ids]
-    for s in stats:
-        proc.stdin.write(f"EVAL ||| {s}\n")
-    proc.stdin.flush()
-    scores = [float(proc.stdout.readline().strip()) for _ in ids]
-    proc.stdin.write("EVAL ||| AGGREGATE\n")  # meteor final line protocol
-    proc.stdin.close()
-    final = proc.stdout.readline().strip()
-    proc.wait(timeout=60)
     try:
+        stats = []
+        for i in ids:
+            refs = "|||".join(r.replace("|||", " ") for r in references[i])
+            hyp = hypotheses[i].replace("|||", " ")
+            proc.stdin.write(f"SCORE ||| {refs} ||| {hyp}\n")
+            proc.stdin.flush()
+            stats.append(proc.stdout.readline().strip())
+        proc.stdin.write("EVAL ||| " + " ||| ".join(stats) + "\n")
+        proc.stdin.flush()
+        for _ in ids:
+            proc.stdout.readline()  # per-image scores
+        final = proc.stdout.readline().strip()  # aggregated corpus METEOR
         return float(final)
-    except ValueError:
-        return sum(scores) / max(len(scores), 1)
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)
 
 
 def spice_score(

@@ -23,13 +23,23 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
     return prev[-1]
 
 
-def _f_lcs(hyp: Sequence[str], ref: Sequence[str]) -> float:
-    lcs = _lcs_len(hyp, ref)
-    if lcs == 0:
+def _score_image(hyp: Sequence[str], refs: Sequence[Sequence[str]]) -> float:
+    """pycocoevalcap semantics: precision and recall are EACH maximized
+    independently across references, then combined into one F."""
+    if not hyp:
         return 0.0
-    prec = lcs / len(hyp)
-    rec = lcs / len(ref)
-    return ((1 + _BETA ** 2) * prec * rec) / (rec + _BETA ** 2 * prec)
+    prec_max = 0.0
+    rec_max = 0.0
+    for ref in refs:
+        if not ref:
+            continue
+        lcs = _lcs_len(hyp, ref)
+        prec_max = max(prec_max, lcs / len(hyp))
+        rec_max = max(rec_max, lcs / len(ref))
+    denom = rec_max + _BETA ** 2 * prec_max
+    if denom == 0.0:
+        return 0.0
+    return ((1 + _BETA ** 2) * prec_max * rec_max) / denom
 
 
 def rouge_l(
@@ -40,5 +50,5 @@ def rouge_l(
         raise ValueError("hypotheses and references must align")
     total = 0.0
     for hyp, refs in zip(hypotheses, references):
-        total += max((_f_lcs(hyp, r) for r in refs), default=0.0)
+        total += _score_image(hyp, refs)
     return total / max(len(hypotheses), 1)

@@ -25,12 +25,16 @@ class CheckpointManager:
     def __init__(self, directory: str, *, keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Recent checkpoints rotate under max_to_keep; the best checkpoint
+        # is snapshotted separately under best/ so rotation can never
+        # garbage-collect it (the reference's '*BEST.pth.tar' convention).
         self._mgr = ocp.CheckpointManager(
-            self.directory,
+            os.path.join(self.directory, "recent"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep, create=True
             ),
         )
+        self._best_dir = os.path.join(self.directory, "best")
         self._meta_path = os.path.join(self.directory, "best.json")
 
     # -- save / restore ------------------------------------------------------
@@ -52,6 +56,21 @@ class CheckpointManager:
             best = self.best_metric()
             if best is None or metric > best:
                 is_best = True
+                # Snapshot outside the rotating manager so it survives
+                # max_to_keep garbage collection.
+                with ocp.StandardCheckpointer() as ckptr:
+                    tmp = self._best_dir + ".tmp"
+                    if os.path.exists(tmp):
+                        import shutil
+
+                        shutil.rmtree(tmp)
+                    ckptr.save(tmp, state)
+                    ckptr.wait_until_finished()
+                if os.path.exists(self._best_dir):
+                    import shutil
+
+                    shutil.rmtree(self._best_dir)
+                os.rename(tmp, self._best_dir)
                 payload = {"step": step, "metric": float(metric)}
                 if extra:
                     payload.update(extra)
@@ -71,6 +90,13 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(template)
         )
+
+    def restore_best(self, template: TrainState) -> TrainState:
+        """Restore the best-metric snapshot (never rotated away)."""
+        if not os.path.exists(self._best_dir):
+            raise FileNotFoundError(f"no best checkpoint in {self.directory}")
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(self._best_dir, template)
 
     # -- metadata ------------------------------------------------------------
 

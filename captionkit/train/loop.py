@@ -107,7 +107,9 @@ def run_xe_training(
     report = TrainReport()
     lr = tcfg.learning_rate
     epochs_since_best = 0
-    step_fn = make_xe_train_step(model, tcfg, mesh)
+    step_fn = make_xe_train_step(
+        model, tcfg, mesh, label_smoothing=tcfg.label_smoothing
+    )
     steps_done = 0
 
     for epoch in range(tcfg.epochs):
@@ -174,7 +176,8 @@ def run_xe_training(
                 import dataclasses as _dc
 
                 step_fn = make_xe_train_step(
-                    model, _dc.replace(tcfg, learning_rate=lr), mesh
+                    model, _dc.replace(tcfg, learning_rate=lr), mesh,
+                    label_smoothing=tcfg.label_smoothing,
                 )
         elif ckpt is not None:
             ckpt.save(state)

@@ -46,7 +46,7 @@ class ThroughputCounter:
     warmup: int = 1  # number of initial update() calls excluded
     _items: int = 0
     _calls: int = 0
-    _t0: float = field(default=0.0)
+    _t0: float = field(default_factory=time.perf_counter)
 
     def update(self, n_items: int) -> None:
         self._calls += 1

@@ -71,3 +71,33 @@ def test_dataset_batches_through_store(tmp_path):
     np.testing.assert_array_equal(
         b.features[0], np.asarray(ds.features)[b.image_id[0]]
     )
+
+
+def test_hdf5_dataset_per_batch_gather(tmp_path):
+    """h5py-backed features must be gathered per batch through sorted
+    fancy indexing (never np.asarray of the whole dataset)."""
+    h5py = pytest.importorskip("h5py")
+    from captionkit.data.sources import CaptionDataset, load_hdf5_features
+
+    arr = np.random.default_rng(0).standard_normal(
+        (10, 3, 8)
+    ).astype(np.float32)
+    p = str(tmp_path / "f.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("features", data=arr)
+    feats = load_hdf5_features(p)
+    ds = CaptionDataset(
+        features=feats,
+        existing=np.tile(np.asarray([[2, 5, 3]], np.int32), (10, 1)),
+        existing_len=np.full((10,), 3, np.int32),
+        target=None, target_len=None,
+        image_index=np.arange(10, dtype=np.int32)[::-1].copy(),  # reversed
+        vocab=__import__("captionkit.data.vocab", fromlist=["Vocab"]).Vocab(
+            {"<pad>": 0, "<unk>": 1, "<start>": 2, "<end>": 3, "a": 4, "b": 5}
+        ),
+    )
+    b = next(ds.batches(4))
+    # Row 0 maps to image 9 (reversed index) — duplicates + unsorted rows
+    # must come back in request order.
+    np.testing.assert_array_equal(b.features[0], arr[9])
+    np.testing.assert_array_equal(b.features[3], arr[6])

@@ -152,3 +152,13 @@ def test_external_scorers_absent_cleanly():
     assert isinstance(external.available_scorers(), dict)
     out = evaluate_captions({1: ["a dog"]}, {1: "a dog"})
     assert "CIDEr" in out
+
+
+def test_rouge_l_independent_prec_rec_maxima():
+    """pycocoevalcap semantics: prec and rec are maximized independently
+    across refs. hyp=[a,b], refs=[[a],[a,b,c,d]] -> prec_max=1 (vs [a]... )"""
+    hyp = ["a", "b"]
+    refs = [["a"], ["a", "b", "c", "d"]]
+    # prec_max = max(1/2 vs [a], 2/2 vs long) = 1.0
+    # rec_max  = max(1/1 vs [a], 2/4 vs long) = 1.0  -> F = 1.0
+    assert abs(rouge_l([hyp], [refs]) - 1.0) < 1e-9

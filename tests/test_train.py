@@ -158,3 +158,46 @@ def test_make_mesh_helpers():
     assert m2.axis_names == ("dcn", "ici")
     with pytest.raises(ValueError):
         make_mesh((16,), ("data",))
+
+
+def test_checkpoint_best_survives_rotation(tmp_path):
+    """The best checkpoint must survive max_to_keep garbage collection
+    (reference '*BEST.pth.tar' semantics)."""
+    src, model, tcfg, state, batch = _setup("dcnet")
+    step = make_xe_train_step(model, tcfg)
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    best_state = state
+    mgr.save(state, metric=0.9)  # the best, at step 0
+    for _ in range(4):  # rotate far past keep=2
+        state, _ = step(state, batch)
+        mgr.save(state, metric=0.1)
+    assert mgr.best_step() == 0
+    template = create_train_state(model.init, tcfg)
+    restored = mgr.restore_best(template)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(best_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_label_smoothing_reaches_loss():
+    import dataclasses
+
+    from captionkit.train.loop import run_xe_training
+    from captionkit.utils.config import CaptionKitConfig
+
+    src, model, tcfg, state, batch = _setup("editnet", seed=5)
+    losses = {}
+    for ls in (0.0, 0.3):
+        cfg = CaptionKitConfig(
+            model=dataclasses.replace(
+                ModelConfig(arch="editnet", **{**MCFG,
+                                               "vocab_size": len(src.vocab)})
+            ),
+            train=dataclasses.replace(tcfg, label_smoothing=ls, epochs=1),
+        ).override({"data.batch_size": 16})
+        st = create_train_state(model.init, tcfg)
+        _, report = run_xe_training(model, st, cfg, src.dataset, None,
+                                    max_steps=1)
+        losses[ls] = report.history[0]["loss"]
+    assert losses[0.0] != losses[0.3]
