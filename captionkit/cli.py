@@ -189,7 +189,7 @@ def cmd_train_scst(args) -> int:
         model, state, cfg, train_ds,
         None if args.no_val else eval_ds,
         mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
-        metrics_logger=mlogger,
+        metrics_logger=mlogger, pipeline=args.pipeline,
     )
     best = report.best_metric if report.best_metric > float("-inf") else None
     print(json.dumps({
@@ -324,6 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(sp)
     sp.add_argument("--max-steps", type=int)
     sp.add_argument("--no-val", action="store_true")
+    sp.add_argument("--pipeline", action="store_true",
+                    help="overlap host CIDEr-D reward with the next "
+                         "rollout (one-step-stale policy)")
 
     sp = sub.add_parser("convert", help="torch checkpoint -> params .npz")
     sp.add_argument("--torch", required=True)

@@ -188,6 +188,25 @@ def run_xe_training(
     return state, report
 
 
+def _apply_pending(state, pending, update_fn, rewarder):
+    """Finish a pipelined SCST step: host reward for an already-dispatched
+    rollout, then the device update."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev_batch, refs, roll = pending
+    sample_tokens = np.asarray(jax.device_get(roll["sample_tokens"]))
+    greedy_tokens = np.asarray(jax.device_get(roll["greedy_tokens"]))
+    adv = rewarder.advantage(sample_tokens, greedy_tokens, refs)
+    state, metrics = update_fn(
+        state, dev_batch, roll["sample_tokens"], roll["sample_mask"],
+        jnp.asarray(adv),
+    )
+    metrics = dict(metrics)
+    metrics["reward_sample_minus_greedy"] = float(adv.mean())
+    return state, metrics
+
+
 def run_scst_training(
     model: ModelDef,
     state: TrainState,
@@ -200,8 +219,16 @@ def run_scst_training(
     df: Optional[NgramDocFreq] = None,
     max_steps: Optional[int] = None,
     metrics_logger: Optional[MetricsLogger] = None,
+    pipeline: bool = False,
 ) -> tuple[TrainState, TrainReport]:
-    """SCST fine-tuning phase (SURVEY.md §4.4)."""
+    """SCST fine-tuning phase (SURVEY.md §4.4).
+
+    pipeline=True overlaps the host CIDEr-D reward of batch k with the
+    device rollout of batch k+1 (SURVEY.md §7.4). The k+1 rollout then uses
+    the params from BEFORE batch k's update — one step of policy staleness,
+    a standard asynchronous-REINFORCE tradeoff. Off by default: the native
+    C++ reward scorer already removes most of the host serial cost, and the
+    strictly on-policy recipe matches the reference."""
     if train_dataset.references is None:
         raise ValueError("SCST needs per-image reference captions")
     tcfg = cfg.train
@@ -221,36 +248,71 @@ def run_scst_training(
     )
     report = TrainReport()
     steps_done = 0
+    import numpy as _np
+
+    def _prep(batch):
+        dev_batch = batch_to_device_dict(batch)
+        if mesh is not None:
+            dev_batch = shard_batch_arrays(mesh, dev_batch)
+        refs = [train_dataset.references[int(i)] for i in batch.image_id]
+        return dev_batch, refs
+
+    def _tick(metrics, epoch):
+        nonlocal steps_done
+        steps_done += 1
+        meter_rw.update(metrics["reward_sample_minus_greedy"])
+        if steps_done % tcfg.log_every == 0:
+            log.info(
+                "scst epoch %d step %d mean advantage %.4f",
+                epoch, steps_done, meter_rw.avg,
+            )
+            if metrics_logger is not None:
+                metrics_logger.log(steps_done, {
+                    "scst/mean_advantage": meter_rw.avg,
+                })
+
     for epoch in range(tcfg.scst_epochs):
         meter_rw = AverageMeter()
-        for batch in train_dataset.batches(
+        batches = train_dataset.batches(
             cfg.data.batch_size, shuffle=True, seed=tcfg.seed + 1000 + epoch
-        ):
-            dev_batch = batch_to_device_dict(batch)
-            if mesh is not None:
-                dev_batch = shard_batch_arrays(mesh, dev_batch)
-            refs = [
-                train_dataset.references[int(i)] for i in batch.image_id
-            ]
-            rng = jax.random.fold_in(state.rng, int(state.step))
-            state, metrics = scst_train_step(
-                rollout_fn=rollout_fn, update_fn=update_fn,
-                rewarder=rewarder, state=state, batch=dev_batch,
-                references=refs, rng=rng,
-            )
-            steps_done += 1
-            meter_rw.update(metrics["reward_sample_minus_greedy"])
-            if steps_done % tcfg.log_every == 0:
-                log.info(
-                    "scst epoch %d step %d mean advantage %.4f",
-                    epoch, steps_done, meter_rw.avg,
+        )
+        if not pipeline:
+            for batch in batches:
+                dev_batch, refs = _prep(batch)
+                rng = jax.random.fold_in(state.rng, int(state.step))
+                state, metrics = scst_train_step(
+                    rollout_fn=rollout_fn, update_fn=update_fn,
+                    rewarder=rewarder, state=state, batch=dev_batch,
+                    references=refs, rng=rng,
                 )
-                if metrics_logger is not None:
-                    metrics_logger.log(steps_done, {
-                        "scst/mean_advantage": meter_rw.avg,
-                    })
-            if max_steps is not None and steps_done >= max_steps:
-                break
+                _tick(metrics, epoch)
+                if max_steps is not None and steps_done >= max_steps:
+                    break
+        else:
+            # Pipelined: dispatch batch k+1's rollout (async, with the
+            # pre-update params — one step stale) before batch k's host
+            # reward + device update, so the chip never idles on CIDEr-D.
+            pending = None  # (dev_batch, refs, roll)
+            for batch in batches:
+                dev_batch, refs = _prep(batch)
+                rng = jax.random.fold_in(state.rng, steps_done)
+                roll = rollout_fn(state.params, dev_batch, rng)
+                if pending is not None:
+                    state, metrics = _apply_pending(
+                        state, pending, update_fn, rewarder
+                    )
+                    _tick(metrics, epoch)
+                    if max_steps is not None and steps_done >= max_steps:
+                        pending = None
+                        break
+                pending = (dev_batch, refs, roll)
+            if pending is not None and (
+                max_steps is None or steps_done < max_steps
+            ):
+                state, metrics = _apply_pending(
+                    state, pending, update_fn, rewarder
+                )
+                _tick(metrics, epoch)
         stats = {"epoch": epoch, "mean_advantage": meter_rw.avg}
         if val_dataset is not None:
             cider = _validate(model, state, val_dataset, cfg)

@@ -215,3 +215,40 @@ def test_decode_split_on_mesh_matches_single_device():
     mesh = make_mesh((8,), ("data",))
     hyps_8, _ = decode_split(model, state.params, ev, dcfg, mesh=mesh)
     assert hyps_1 == hyps_8
+
+
+def test_scst_pipelined_loop_runs_and_counts_steps():
+    """pipeline=True must process every batch exactly once (one-step-stale
+    rollouts) and produce finite advantages."""
+    src, mcfg, model, tcfg, state = _setup(num_images=12)
+    cfg = CaptionKitConfig(
+        model=mcfg,
+        train=tcfg.__class__(
+            scst_epochs=1, scst_learning_rate=1e-3, donate_state=False,
+            log_every=1,
+        ),
+    )
+    cfg = cfg.override({"data.batch_size": 6, "decode.max_decode_len": 10,
+                        "decode.method": "greedy", "decode.beam_size": 1,
+                        "decode.batch_size": 12})
+    state2, report = run_scst_training(
+        model, state, cfg, src.dataset, None, pipeline=True,
+    )
+    # 12 images x 2 captions = 24 rows -> 4 batches of 6.
+    assert int(state2.step) == 4
+    assert np.isfinite(report.history[0]["mean_advantage"])
+
+
+def test_scst_pipelined_respects_max_steps():
+    src, mcfg, model, tcfg, state = _setup(num_images=12)
+    cfg = CaptionKitConfig(
+        model=mcfg,
+        train=tcfg.__class__(scst_epochs=1, donate_state=False, log_every=1),
+    )
+    cfg = cfg.override({"data.batch_size": 6, "decode.max_decode_len": 10,
+                        "decode.method": "greedy", "decode.beam_size": 1,
+                        "decode.batch_size": 12})
+    state2, _ = run_scst_training(
+        model, state, cfg, src.dataset, None, pipeline=True, max_steps=2,
+    )
+    assert int(state2.step) == 2
