@@ -49,6 +49,9 @@ def _apply_overrides(cfg: CaptionKitConfig, sets: list[str]) -> CaptionKitConfig
 
 
 def _load_dataset(args, cfg):
+    """Returns (train_dataset, eval_dataset). The eval dataset is always
+    one row per image (decoding the training layout's captions_per_image
+    duplicate rows would multiply decode work for identical hypotheses)."""
     from captionkit.data import SyntheticCaptionSource
     from captionkit.data.sources import CaptionDataset
 
@@ -62,6 +65,15 @@ def _load_dataset(args, cfg):
             seed=cfg.data.seed,
         )
         return src.dataset, src.eval_view()
+    if getattr(args, "prepared", None):
+        # prepare_from_karpathy output dir: attaches per-image reference
+        # captions, enabling metrics-scored eval and SCST.
+        from captionkit.data.prepare import load_prepared_split
+
+        ds = load_prepared_split(
+            args.prepared, args.split, max_len=cfg.data.max_len
+        )
+        return ds, ds.eval_view()
     ds = CaptionDataset.from_reference_files(
         wordmap_path=args.wordmap,
         captions_path=args.captions,
@@ -71,7 +83,7 @@ def _load_dataset(args, cfg):
         features_path=args.features,
         max_len=cfg.data.max_len,
     )
-    return ds, ds
+    return ds, ds.eval_view()
 
 
 def _build_model(cfg, vocab_size: int):
@@ -273,7 +285,8 @@ def cmd_convert(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("captionkit")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
-                   help="force a JAX platform (default: environment's)")
+                   help="cpu forces the CPU backend; tpu (the default) "
+                        "uses the environment's accelerator")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise immediately on any NaN under jit")
     p.add_argument("--run-dir", default="",
@@ -292,6 +305,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--images", type=int, default=64,
                         help="synthetic dataset size")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--prepared",
+                        help="prepare_from_karpathy output dir (loads "
+                             "reference captions for metrics/SCST)")
+        sp.add_argument("--split", default="train",
+                        help="split name inside --prepared")
         sp.add_argument("--wordmap"), sp.add_argument("--captions")
         sp.add_argument("--caplens"), sp.add_argument("--existing")
         sp.add_argument("--existing-lens", dest="existing_lens")
@@ -351,12 +369,13 @@ def main(argv=None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
     args = build_parser().parse_args(argv)
-    if args.platform:
+    if args.platform == "cpu":
         # jax.config (not the env var): the host sitecustomize imports jax
         # at interpreter start, latching JAX_PLATFORMS before we run.
-        jax.config.update(
-            "jax_platforms", "cpu" if args.platform == "cpu" else None
-        )
+        # "tpu" needs no action — the environment's accelerator is the
+        # default; forcing the literal string would break on hosts whose
+        # TPU plugin registers under another platform name (e.g. axon).
+        jax.config.update("jax_platforms", "cpu")
     if args.debug_nans:
         from captionkit.utils.logging import enable_nan_debugging
 

@@ -114,6 +114,23 @@ class CaptionDataset:
     def size(self) -> int:
         return int(self.existing.shape[0])
 
+    def eval_view(self) -> "CaptionDataset":
+        """One row per image (the first caption row): the decode/eval
+        layout. The training layout has captions_per_image identical
+        existing-caption rows per image — decoding all of them would do
+        captions_per_image times the necessary work."""
+        first = np.unique(self.image_index, return_index=True)[1]
+        return CaptionDataset(
+            features=self.features,
+            existing=self.existing[first],
+            existing_len=self.existing_len[first],
+            target=None,
+            target_len=None,
+            image_index=self.image_index[first],
+            vocab=self.vocab,
+            references=self.references,
+        )
+
     def batches(
         self,
         batch_size: int,
@@ -248,15 +265,4 @@ class SyntheticCaptionSource:
 
     def eval_view(self) -> CaptionDataset:
         """One row per image (first existing caption), for decode eval."""
-        ds = self.dataset
-        first = np.unique(ds.image_index, return_index=True)[1]
-        return CaptionDataset(
-            features=ds.features,
-            existing=ds.existing[first],
-            existing_len=ds.existing_len[first],
-            target=None,
-            target_len=None,
-            image_index=ds.image_index[first],
-            vocab=ds.vocab,
-            references=ds.references,
-        )
+        return self.dataset.eval_view()

@@ -46,7 +46,7 @@ def make_decode_fn(
     if decode_cfg.method not in ("greedy", "beam", "sample"):
         raise ValueError(f"unknown decode method {decode_cfg.method!r}")
 
-    def fn(params, features, existing, existing_len):
+    def fn(params, features, existing, existing_len, batch_idx):
         ctx = model.encode(params, features, existing, existing_len)
         if decode_cfg.method == "beam" and decode_cfg.beam_size > 1:
             res = beam_search(
@@ -58,8 +58,11 @@ def make_decode_fn(
             )
             return res.tokens
         if decode_cfg.method == "sample":
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(decode_cfg.seed), batch_idx
+            )
             out = sample_decode(
-                model, params, ctx, jax.random.PRNGKey(0),
+                model, params, ctx, rng,
                 start_id=start_id, end_id=end_id, pad_id=pad_id,
                 max_len=decode_cfg.max_decode_len,
                 temperature=decode_cfg.temperature,
@@ -79,7 +82,7 @@ def make_decode_fn(
     repl, bsh = replicated(mesh), batch_sharding(mesh)
     return jax.jit(
         fn,
-        in_shardings=(repl, bsh, bsh, bsh),
+        in_shardings=(repl, bsh, bsh, bsh, repl),
         out_shardings=NamedSharding(mesh, PartitionSpec()),
     )
 
@@ -112,12 +115,13 @@ def decode_split(
     # The first batch compiles the decode program; it is excluded from the
     # throughput clock (captions/sec counts steady-state batches only).
     t_start: Optional[float] = None
-    for batch in dataset.batches(decode_cfg.batch_size):
+    for batch_idx, batch in enumerate(dataset.batches(decode_cfg.batch_size)):
         tokens = decode_fn(
             params,
             jnp.asarray(batch.features),
             jnp.asarray(batch.existing),
             jnp.asarray(batch.existing_len),
+            jnp.asarray(batch_idx, jnp.int32),
         )
         tokens = np.asarray(jax.device_get(tokens))
         n_valid = int(batch.valid.sum())

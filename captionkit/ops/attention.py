@@ -81,8 +81,11 @@ def fused_additive_attention(
     Q = query.shape[-1]
     dt = compute_dtype
 
-    # Mask arrives as per-row valid counts (contiguous-prefix masks only,
-    # which is what length masks are); arbitrary masks fall back to jnp.
+    # CONTRACT: masks must be contiguous-prefix (length) masks — the only
+    # kind this framework produces. The kernel reduces the mask to a
+    # per-row valid count; a non-prefix mask would be silently reinterpreted
+    # as its prefix of the same cardinality. Use the jnp twin
+    # (nn.attention.additive_attention) for arbitrary masks.
     if mask is None:
         nvalid = jnp.full((B,), N, jnp.int32)
     else:

@@ -123,14 +123,28 @@ def run_xe_training(
                 cfg.data.batch_size, shuffle=True, seed=tcfg.seed + epoch
             )
         )
+        # Device metric scalars are collected and materialized only at
+        # log boundaries: a per-step float() would synchronize the host
+        # with every step and stall the dispatch pipeline that
+        # prefetch_to_device sets up.
+        pending_metrics: list = []
+
+        def _drain():
+            for m in jax.device_get(pending_metrics):
+                meter_loss.update(float(m["loss"]))
+                meter_acc.update(float(m["top5_acc"]))
+            pending_metrics.clear()
+
         for dev_batch in prefetch_to_device(host_batches, mesh=mesh):
             state, metrics = step_fn(state, dev_batch)
             steps_done += 1
-            meter_loss.update(float(metrics["loss"]))
-            meter_acc.update(float(metrics["top5_acc"]))
+            pending_metrics.append(
+                {"loss": metrics["loss"], "top5_acc": metrics["top5_acc"]}
+            )
             meter_bt.update(time.perf_counter() - t0)
             t0 = time.perf_counter()
             if steps_done % tcfg.log_every == 0:
+                _drain()
                 log.info(
                     "epoch %d step %d loss %.4f top5 %.3f %.3fs/step",
                     epoch, steps_done, meter_loss.avg, meter_acc.avg,
@@ -144,6 +158,7 @@ def run_xe_training(
                     })
             if max_steps is not None and steps_done >= max_steps:
                 break
+        _drain()
 
         epoch_stats = {
             "epoch": epoch, "loss": meter_loss.avg, "top5_acc": meter_acc.avg
@@ -293,9 +308,14 @@ def run_scst_training(
             # pre-update params — one step stale) before batch k's host
             # reward + device update, so the chip never idles on CIDEr-D.
             pending = None  # (dev_batch, refs, roll)
+            dispatched = 0  # rollouts issued this epoch (steps_done lags
+            # one behind under pipelining, so it cannot key the PRNG)
             for batch in batches:
                 dev_batch, refs = _prep(batch)
-                rng = jax.random.fold_in(state.rng, steps_done)
+                rng = jax.random.fold_in(
+                    jax.random.fold_in(state.rng, epoch), dispatched
+                )
+                dispatched += 1
                 roll = rollout_fn(state.params, dev_batch, rng)
                 if pending is not None:
                     state, metrics = _apply_pending(

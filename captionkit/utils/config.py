@@ -97,6 +97,7 @@ class DecodeConfig:
     length_penalty: float = 0.0  # 0 = sum log-probs (reference-style)
     batch_size: int = 256  # images per device batch during split decode
     temperature: float = 1.0
+    seed: int = 0  # sampling seed (method="sample"); folded per batch
 
 
 @dataclass(frozen=True)
@@ -174,10 +175,23 @@ NAMED_CONFIGS: dict[str, CaptionKitConfig] = {
     ),
     # BASELINE config #4: "Cross-entropy training of DCNet+EditNet, DP mesh"
     "xe_train": _mk("xe_train", **{"model.arch": "editnet"}),
-    # BASELINE config #5: "SCST self-critical CIDEr fine-tuning"
+    # BASELINE config #5: "SCST self-critical CIDEr fine-tuning".
+    # (run_scst_training reads train.scst_learning_rate.)
     "scst_train": _mk(
         "scst_train",
-        **{"model.arch": "editnet", "train.learning_rate": 5e-5},
+        **{"model.arch": "editnet", "train.scst_learning_rate": 5e-5},
+    ),
+    # Per-model variants (the reference trains/evaluates each editor
+    # separately and with its own SCST phase, SURVEY.md §1).
+    "dcnet_beam5": _mk(
+        "dcnet_beam5",
+        **{"model.arch": "dcnet", "decode.method": "beam",
+           "decode.beam_size": 5},
+    ),
+    "dcnet_xe_train": _mk("dcnet_xe_train", **{"model.arch": "dcnet"}),
+    "dcnet_scst_train": _mk(
+        "dcnet_scst_train",
+        **{"model.arch": "dcnet", "train.scst_learning_rate": 5e-5},
     ),
 }
 
