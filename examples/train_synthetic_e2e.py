@@ -92,11 +92,52 @@ def main() -> int:
     after_scst = evaluate_split(model, state.params, eval_ds, cfg.decode)
     print("CIDEr after SCST:", round(after_scst["CIDEr"], 3))
 
+    # Stacked editing: train a DCNet too, chain DCNet -> EditNet
+    # (SURVEY.md §1: the editors are combinable by running one after the
+    # other) and score the stacked output.
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from captionkit.decode.stacked import make_stacked_decode_fn
+    from captionkit.metrics.eval import CaptionEvaluator
+
+    dcfg_model = dataclasses.replace(cfg.model, arch="dcnet")
+    dcnet = get_model(dcfg_model)
+    dstate = create_train_state(dcnet.init, cfg.train)
+    dcnet_cfg = cfg.replace(model=dcfg_model)
+    dstate, _ = run_xe_training(
+        dcnet, dstate, dcnet_cfg, src.dataset, None, max_steps=args.steps,
+    )
+    fn = make_stacked_decode_fn(
+        dcnet, model,
+        first_stage=dataclasses.replace(cfg.decode, method="greedy"),
+        second_stage=dataclasses.replace(cfg.decode, method="beam",
+                                         beam_size=5),
+        start_id=src.vocab.start, end_id=src.vocab.end,
+        pad_id=src.vocab.pad,
+    )
+    hyps = {}
+    for batch in eval_ds.batches(cfg.decode.batch_size):
+        toks = np.asarray(jax.device_get(fn(
+            dstate.params, state.params, jnp.asarray(batch.features),
+            jnp.asarray(batch.existing), jnp.asarray(batch.existing_len),
+        )))
+        for row, valid, img in zip(toks, batch.valid, batch.image_id):
+            if valid:
+                hyps[int(img)] = src.vocab.decode_to_string(row)
+    refs = {i: [" ".join(t) for t in eval_ds.references[i]] for i in hyps}
+    stacked = CaptionEvaluator().evaluate(refs, hyps)
+    print("CIDEr stacked DCNet->EditNet (beam=5):",
+          round(stacked["CIDEr"], 3))
+
     summary = {
         "cider_before": before["CIDEr"],
         "cider_after_xe": after_xe["CIDEr"],
         "cider_after_xe_beam5": beam_xe["CIDEr"],
         "cider_after_scst": after_scst["CIDEr"],
+        "cider_stacked_beam5": stacked["CIDEr"],
         "xe_steps": args.steps,
         "scst_steps": args.scst_steps,
     }
