@@ -130,3 +130,46 @@ def length_mask(lengths: np.ndarray, max_len: int) -> np.ndarray:
     """[B] lengths -> [B, max_len] bool mask (host-side twin of the device
     helper in captionkit.nn.masking)."""
     return np.arange(max_len)[None, :] < lengths[:, None]
+
+
+def bucket_batches(
+    batches: "Iterator[Batch]",
+    boundaries: Sequence[int],
+) -> Iterator[Batch]:
+    """Length-bucketed batching (SURVEY.md §8.1 step 1 'bucketed batching';
+    §6 long-context row: the TPU sequence-axis engineering).
+
+    Rows of each incoming fixed-shape batch are re-emitted with their time
+    axes truncated to the smallest boundary >= the batch's longest real
+    sequence. XLA compiles one program per bucket width (len(boundaries)
+    programs total instead of one), and teacher forcing / encoding skip the
+    padding tail — ~30% fewer scan steps at COCO's length distribution.
+
+    Batch composition is unchanged (same rows, same order); only the static
+    time widths shrink, so numerics are identical to the unbucketed
+    pipeline (masked steps contribute nothing — tests pin this).
+    """
+    bounds = sorted(boundaries)
+
+    def width(max_needed: int, cap: int) -> int:
+        for b in bounds:
+            if b >= max_needed:
+                return min(b, cap)
+        return cap
+
+    for b in batches:
+        ex_w = width(int(b.existing_len.max()), b.existing.shape[1])
+        out_kw = {}
+        if b.target is not None:
+            t_w = width(int(b.target_len.max()), b.target.shape[1])
+            out_kw = dict(target=b.target[:, :t_w], target_len=b.target_len)
+        else:
+            out_kw = dict(target=None, target_len=None)
+        yield Batch(
+            features=b.features,
+            existing=b.existing[:, :ex_w],
+            existing_len=b.existing_len,
+            valid=b.valid,
+            image_id=b.image_id,
+            **out_kw,
+        )

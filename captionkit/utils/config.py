@@ -64,6 +64,10 @@ class DataConfig:
     captions_per_image: int = 5
     shuffle_buffer: int = 4096
     seed: int = 0
+    # Length buckets for training batches (empty = single max_len width).
+    # Each bucket width compiles its own XLA program; teacher forcing skips
+    # the padding tail (SURVEY.md §8.1 'bucketed batching').
+    bucket_boundaries: tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)

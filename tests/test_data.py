@@ -158,3 +158,45 @@ def test_named_configs_cover_baseline_json():
     assert "scst_train" in names        # 5 SCST fine-tuning
     # Per-model variants for the second editor:
     assert {"dcnet_beam5", "dcnet_xe_train", "dcnet_scst_train"} <= names
+
+
+def test_bucket_batches_truncates_to_boundary_and_preserves_numerics():
+    """Bucketed batches must keep rows/order and only shrink time widths;
+    downstream XE loss must be bit-identical (masked steps are inert)."""
+    import jax
+    import jax.numpy as jnp
+
+    from captionkit.data.pipeline import bucket_batches
+    from captionkit.models import get_model
+    from captionkit.train.xe import xe_loss
+    from captionkit.utils.config import ModelConfig
+
+    src = SyntheticCaptionSource(num_images=8, captions_per_image=2,
+                                 num_regions=4, feat_dim=12, max_len=20,
+                                 seed=11)
+    mcfg = ModelConfig(arch="editnet", vocab_size=len(src.vocab), emb_dim=16,
+                       hidden_dim=24, att_dim=8, feat_dim=12, num_regions=4,
+                       dropout=0.0, compute_dtype="float32")
+    model = get_model(mcfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    full = list(src.dataset.batches(16))
+    bucketed = list(bucket_batches(iter(full), boundaries=(8, 12, 16, 20)))
+    assert len(bucketed) == len(full)
+    for fb, bb in zip(full, bucketed):
+        assert bb.existing.shape[1] <= fb.existing.shape[1]
+        assert bb.existing.shape[1] >= int(fb.existing_len.max())
+        np.testing.assert_array_equal(
+            bb.existing, fb.existing[:, : bb.existing.shape[1]]
+        )
+
+        def loss_of(b):
+            l, _ = xe_loss(
+                model, params, jnp.asarray(b.features),
+                jnp.asarray(b.existing), jnp.asarray(b.existing_len),
+                jnp.asarray(b.target), jnp.asarray(b.target_len),
+                jnp.asarray(b.valid), train=False,
+            )
+            return float(l)
+
+        np.testing.assert_allclose(loss_of(fb), loss_of(bb), rtol=1e-6)

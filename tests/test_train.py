@@ -201,3 +201,30 @@ def test_label_smoothing_reaches_loss():
                                     max_steps=1)
         losses[ls] = report.history[0]["loss"]
     assert losses[0.0] != losses[0.3]
+
+
+def test_xe_loop_with_buckets():
+    """Bucketed training runs end to end and matches the unbucketed first-
+    step loss (same batch content, shorter static widths)."""
+    import dataclasses
+
+    from captionkit.train.loop import run_xe_training
+    from captionkit.utils.config import CaptionKitConfig, DataConfig
+
+    src, model, tcfg, state, batch = _setup("editnet", seed=9)
+
+    def first_loss(buckets):
+        cfg = CaptionKitConfig(
+            model=ModelConfig(arch="editnet",
+                              **{**MCFG, "vocab_size": len(src.vocab)}),
+            data=DataConfig(batch_size=16, bucket_boundaries=buckets),
+            train=dataclasses.replace(tcfg, epochs=1, log_every=1),
+        )
+        st = create_train_state(model.init, tcfg)
+        _, report = run_xe_training(model, st, cfg, src.dataset, None,
+                                    max_steps=1)
+        return report.history[0]["loss"]
+
+    np.testing.assert_allclose(
+        first_loss(()), first_loss((6, 9, 12)), rtol=1e-5
+    )
