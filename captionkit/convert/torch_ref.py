@@ -105,8 +105,8 @@ class TorchDCNet(nn.Module):
         hs, cs = _encode_frozen(self.encoder, emb, lengths)
         T = existing.shape[1]
         mask = torch.arange(T)[None, :] < lengths[:, None]
-        h0 = torch.tanh(self.init_h(hs[:, -1]))
-        c0 = torch.tanh(self.init_c(cs[:, -1]))
+        h0 = self.init_h(hs[:, -1])
+        c0 = self.init_c(cs[:, -1])
         return {"enc_hs": hs, "mask": mask, "h0": h0, "c0": c0}
 
     def step(self, ctx, h, c, token):

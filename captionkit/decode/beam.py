@@ -28,8 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from captionkit.models.base import ModelDef
-
-NEG_INF = -1e9
+from captionkit.nn.masking import NEG_INF
 
 
 class BeamResult(NamedTuple):

@@ -160,13 +160,15 @@ def evaluate_split(
     evaluator: Optional[CaptionEvaluator] = None,
     results_path: Optional[str] = None,
     mesh=None,
+    decode_fn=None,
 ) -> dict[str, float]:
-    """Decode + score a split (needs dataset.references)."""
+    """Decode + score a split (needs dataset.references). Pass a prebuilt
+    decode_fn to reuse one compiled program across repeated validations."""
     if dataset.references is None:
         raise ValueError("dataset has no reference captions to score against")
     hyps, stats = decode_split(
         model, params, dataset, decode_cfg, results_path=results_path,
-        mesh=mesh,
+        mesh=mesh, decode_fn=decode_fn,
     )
     refs = {
         int(img): [" ".join(toks) for toks in dataset.references[int(img)]]

@@ -49,6 +49,13 @@ def make_stacked_decode_fn(
     """Jitted (dcnet_params, editnet_params, features, existing,
     existing_len) -> final tokens [B, L]."""
 
+    for stage in (first_stage, second_stage):
+        if stage.method not in ("greedy", "beam"):
+            raise ValueError(
+                f"stacked decode supports greedy/beam stages, got "
+                f"{stage.method!r}"
+            )
+
     def _decode(model, params, ctx, cfg: DecodeConfig) -> tuple:
         if cfg.method == "beam" and cfg.beam_size > 1:
             res = beam_search(

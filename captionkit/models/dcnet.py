@@ -122,11 +122,13 @@ def encode(
     keys = project_keys(params.attention, hs, compute_dtype=dt).astype(dt)
     mask = length_mask(existing_len, existing.shape[1])
     # Decoder init from the final (frozen-at-length) encoder state — the
-    # tutorial-family init_hidden_state pattern (SURVEY.md §3.2). ⟦cite⟧
+    # tutorial-family init_hidden_state pattern: a bare Linear, NO
+    # activation (sgrvinod-family init_h/init_c; an extra tanh here would
+    # desync converted reference checkpoints from step 0). ⟦cite⟧
     h_last = hs[:, -1, :]
     c_last = cs[:, -1, :]
-    h0 = jnp.tanh(h_last @ params.init_h_w + params.init_h_b)
-    c0 = jnp.tanh(c_last @ params.init_c_w + params.init_c_b)
+    h0 = h_last @ params.init_h_w + params.init_h_b
+    c0 = c_last @ params.init_c_w + params.init_c_b
     vis_keys = None
     feats = None
     if cfg.dcnet_use_visual and params.vis_attention is not None:

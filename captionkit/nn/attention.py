@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-NEG_INF = -1e9
+from captionkit.nn.masking import NEG_INF, mask_logits
 
 
 @struct.dataclass
@@ -96,7 +96,7 @@ def additive_attention(
         e = jnp.tanh(keys + q[:, None, :] + params.b)  # [B, N, A]
         scores = jnp.einsum("bna,a->bn", e, params.v)  # fp32
         if mask is not None:
-            scores = jnp.where(mask, scores, NEG_INF)
+            scores = mask_logits(scores, mask)
         weights = jax.nn.softmax(scores, axis=-1)  # [B, N]
         ctx = jnp.einsum(
             "bn,bnv->bv", weights.astype(values.dtype), values,
@@ -112,7 +112,7 @@ def additive_attention(
     e = jnp.tanh(keys[:, None, :, :] + qg[:, :, None, :] + params.b)
     scores = jnp.einsum("bgna,a->bgn", e, params.v)
     if mask is not None:
-        scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+        scores = mask_logits(scores, mask[:, None, :])
     weights = jax.nn.softmax(scores, axis=-1)  # [B, G, N]
     ctx = jnp.einsum(
         "bgn,bnv->bgv", weights.astype(values.dtype), values,

@@ -75,9 +75,22 @@ class TrainReport:
     history: list[dict[str, float]] = field(default_factory=list)
 
 
-def _validate(model, state, val_dataset, cfg) -> float:
+def _make_val_decode_fn(model, val_dataset, cfg, mesh):
+    """Build the validation decode program ONCE per training run — a fresh
+    make_decode_fn per epoch would re-trace and re-compile the beam search
+    every validation, and would ignore the mesh."""
+    from captionkit.decode.driver import make_decode_fn
+
+    v = val_dataset.vocab
+    return make_decode_fn(
+        model, cfg.decode, start_id=v.start, end_id=v.end, pad_id=v.pad,
+        mesh=mesh,
+    )
+
+
+def _validate(model, state, val_dataset, cfg, decode_fn=None) -> float:
     metrics = evaluate_split(
-        model, state.params, val_dataset, cfg.decode
+        model, state.params, val_dataset, cfg.decode, decode_fn=decode_fn
     )
     log.info("val metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
     return metrics.get("CIDEr", 0.0)
@@ -110,6 +123,10 @@ def run_xe_training(
     step_fn = make_xe_train_step(
         model, tcfg, mesh, label_smoothing=tcfg.label_smoothing
     )
+    val_decode_fn = (
+        _make_val_decode_fn(model, val_dataset, cfg, mesh)
+        if val_dataset is not None else None
+    )
     steps_done = 0
 
     for epoch in range(tcfg.epochs):
@@ -117,31 +134,42 @@ def run_xe_training(
             AverageMeter(), AverageMeter(), AverageMeter()
         )
         t0 = time.perf_counter()
-        host_batches = (
-            _host_dict(b)
-            for b in train_dataset.batches(
-                cfg.data.batch_size, shuffle=True, seed=tcfg.seed + epoch
-            )
+        epoch_batches = train_dataset.batches(
+            cfg.data.batch_size, shuffle=True, seed=tcfg.seed + epoch
         )
+        if cfg.data.bucket_boundaries:
+            from captionkit.data.pipeline import bucket_batches
+
+            epoch_batches = bucket_batches(
+                epoch_batches, cfg.data.bucket_boundaries
+            )
+        host_batches = (_host_dict(b) for b in epoch_batches)
         # Device metric scalars are collected and materialized only at
         # log boundaries: a per-step float() would synchronize the host
         # with every step and stall the dispatch pipeline that
         # prefetch_to_device sets up.
         pending_metrics: list = []
+        meter_tok = AverageMeter()
 
         def _drain():
             for m in jax.device_get(pending_metrics):
                 meter_loss.update(float(m["loss"]))
                 meter_acc.update(float(m["top5_acc"]))
+                meter_tok.update(float(m["tokens"]))
             pending_metrics.clear()
 
         for dev_batch in prefetch_to_device(host_batches, mesh=mesh):
             state, metrics = step_fn(state, dev_batch)
             steps_done += 1
             pending_metrics.append(
-                {"loss": metrics["loss"], "top5_acc": metrics["top5_acc"]}
+                {"loss": metrics["loss"], "top5_acc": metrics["top5_acc"],
+                 "tokens": metrics["tokens"]}
             )
-            meter_bt.update(time.perf_counter() - t0)
+            # First step carries trace+compile; keep it out of the
+            # steady-state step clock (decode_split does the same for its
+            # captions/sec counter).
+            if steps_done > 1:
+                meter_bt.update(time.perf_counter() - t0)
             t0 = time.perf_counter()
             if steps_done % tcfg.log_every == 0:
                 _drain()
@@ -151,10 +179,13 @@ def run_xe_training(
                     meter_bt.avg,
                 )
                 if metrics_logger is not None:
+                    sec = max(meter_bt.avg, 1e-9)
                     metrics_logger.log(steps_done, {
                         "train/loss": meter_loss.avg,
                         "train/top5_acc": meter_acc.avg,
                         "train/sec_per_step": meter_bt.avg,
+                        # SURVEY.md §6 tracing row: tokens/sec counter.
+                        "train/tokens_per_sec": meter_tok.avg / sec,
                     })
             if max_steps is not None and steps_done >= max_steps:
                 break
@@ -164,7 +195,7 @@ def run_xe_training(
             "epoch": epoch, "loss": meter_loss.avg, "top5_acc": meter_acc.avg
         }
         if val_dataset is not None and (epoch + 1) % tcfg.eval_every_epochs == 0:
-            cider = _validate(model, state, val_dataset, cfg)
+            cider = _validate(model, state, val_dataset, cfg, val_decode_fn)
             epoch_stats["val_cider"] = cider
             if metrics_logger is not None:
                 metrics_logger.log(steps_done, {"val/cider": cider})
@@ -204,22 +235,14 @@ def run_xe_training(
 
 
 def _apply_pending(state, pending, update_fn, rewarder):
-    """Finish a pipelined SCST step: host reward for an already-dispatched
-    rollout, then the device update."""
-    import jax.numpy as jnp
-    import numpy as np
+    """Finish a pipelined SCST step via the shared reward+update path."""
+    from captionkit.train.scst import apply_rollout
 
     dev_batch, refs, roll = pending
-    sample_tokens = np.asarray(jax.device_get(roll["sample_tokens"]))
-    greedy_tokens = np.asarray(jax.device_get(roll["greedy_tokens"]))
-    adv = rewarder.advantage(sample_tokens, greedy_tokens, refs)
-    state, metrics = update_fn(
-        state, dev_batch, roll["sample_tokens"], roll["sample_mask"],
-        jnp.asarray(adv),
+    return apply_rollout(
+        update_fn=update_fn, rewarder=rewarder, state=state,
+        batch=dev_batch, references=refs, roll=roll,
     )
-    metrics = dict(metrics)
-    metrics["reward_sample_minus_greedy"] = float(adv.mean())
-    return state, metrics
 
 
 def run_scst_training(
@@ -263,8 +286,10 @@ def run_scst_training(
     )
     report = TrainReport()
     steps_done = 0
-    import numpy as _np
-
+    val_decode_fn = (
+        _make_val_decode_fn(model, val_dataset, cfg, mesh)
+        if val_dataset is not None else None
+    )
     def _prep(batch):
         dev_batch = batch_to_device_dict(batch)
         if mesh is not None:
@@ -275,7 +300,9 @@ def run_scst_training(
     def _tick(metrics, epoch):
         nonlocal steps_done
         steps_done += 1
-        meter_rw.update(metrics["reward_sample_minus_greedy"])
+        # mean_advantage is masked over valid rows (padded tail rows of the
+        # final batch carry duplicate garbage rewards).
+        meter_rw.update(float(metrics["mean_advantage"]))
         if steps_done % tcfg.log_every == 0:
             log.info(
                 "scst epoch %d step %d mean advantage %.4f",
@@ -335,7 +362,7 @@ def run_scst_training(
                 _tick(metrics, epoch)
         stats = {"epoch": epoch, "mean_advantage": meter_rw.avg}
         if val_dataset is not None:
-            cider = _validate(model, state, val_dataset, cfg)
+            cider = _validate(model, state, val_dataset, cfg, val_decode_fn)
             stats["val_cider"] = cider
             if cider > report.best_metric:
                 report.best_metric = cider

@@ -184,6 +184,32 @@ class ScstRewarder:
         return (np.asarray(r_s) - np.asarray(r_g)).astype(np.float32)
 
 
+def apply_rollout(
+    *,
+    update_fn,
+    rewarder: ScstRewarder,
+    state: TrainState,
+    batch: dict[str, jax.Array],
+    references: Sequence[Sequence[Sequence[str]]],
+    roll: dict[str, jax.Array],
+) -> tuple[TrainState, dict[str, Any]]:
+    """Finish an SCST step from an already-dispatched rollout: host
+    CIDEr-D advantage, then the device update. Shared by the serial and
+    pipelined loops so reward/metric semantics cannot drift."""
+    sample_tokens = np.asarray(jax.device_get(roll["sample_tokens"]))
+    greedy_tokens = np.asarray(jax.device_get(roll["greedy_tokens"]))
+    adv = rewarder.advantage(sample_tokens, greedy_tokens, references)
+    new_state, metrics = update_fn(
+        state, batch, roll["sample_tokens"], roll["sample_mask"],
+        jnp.asarray(adv),
+    )
+    metrics = dict(metrics)
+    # Raw (unmasked) mean for debugging; `mean_advantage` from the update
+    # step is the valid-row-masked quantity loops should report.
+    metrics["reward_sample_minus_greedy"] = float(adv.mean())
+    return new_state, metrics
+
+
 def scst_train_step(
     *,
     rollout_fn,
@@ -196,13 +222,7 @@ def scst_train_step(
 ) -> tuple[TrainState, dict[str, Any]]:
     """One full SCST step (device rollout -> host reward -> device update)."""
     roll = rollout_fn(state.params, batch, rng)
-    sample_tokens = np.asarray(jax.device_get(roll["sample_tokens"]))
-    greedy_tokens = np.asarray(jax.device_get(roll["greedy_tokens"]))
-    adv = rewarder.advantage(sample_tokens, greedy_tokens, references)
-    new_state, metrics = update_fn(
-        state, batch, roll["sample_tokens"], roll["sample_mask"],
-        jnp.asarray(adv),
+    return apply_rollout(
+        update_fn=update_fn, rewarder=rewarder, state=state, batch=batch,
+        references=references, roll=roll,
     )
-    metrics = dict(metrics)
-    metrics["reward_sample_minus_greedy"] = float(adv.mean())
-    return new_state, metrics

@@ -203,15 +203,27 @@ def test_label_smoothing_reaches_loss():
     assert losses[0.0] != losses[0.3]
 
 
-def test_xe_loop_with_buckets():
+def test_xe_loop_with_buckets(monkeypatch):
     """Bucketed training runs end to end and matches the unbucketed first-
-    step loss (same batch content, shorter static widths)."""
+    step loss (same batch content, shorter static widths). The spy asserts
+    the bucketing path is genuinely exercised — an earlier version of this
+    test passed vacuously while the loop ignored the config."""
     import dataclasses
 
+    import captionkit.data.pipeline as pipeline_mod
     from captionkit.train.loop import run_xe_training
     from captionkit.utils.config import CaptionKitConfig, DataConfig
 
     src, model, tcfg, state, batch = _setup("editnet", seed=9)
+    seen_widths: list[int] = []
+    real_bucket = pipeline_mod.bucket_batches
+
+    def spy(batches, boundaries):
+        for b in real_bucket(batches, boundaries):
+            seen_widths.append(b.existing.shape[1])
+            yield b
+
+    monkeypatch.setattr(pipeline_mod, "bucket_batches", spy)
 
     def first_loss(buckets):
         cfg = CaptionKitConfig(
@@ -225,6 +237,9 @@ def test_xe_loop_with_buckets():
                                     max_steps=1)
         return report.history[0]["loss"]
 
-    np.testing.assert_allclose(
-        first_loss(()), first_loss((6, 9, 12)), rtol=1e-5
-    )
+    plain = first_loss(())
+    assert not seen_widths  # no buckets -> bucketing not invoked
+    bucketed = first_loss((6, 9, 12))
+    assert seen_widths, "bucket_batches was never invoked by the loop"
+    assert all(w <= 12 for w in seen_widths)
+    np.testing.assert_allclose(plain, bucketed, rtol=1e-5)
