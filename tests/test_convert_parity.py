@@ -189,3 +189,25 @@ def test_convert_cli_roundtrip(tmp_path, dcnet_pair):
     loaded = load_params_npz(params, out)
     for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dcnet_beam_decode_matches_torch_slow_beam(dcnet_pair):
+    """DCNet: converted-checkpoint batched device beam == reference-style
+    torch batch=1 Python-loop beam."""
+    tmodel, model, params = dcnet_pair
+    _, existing, lengths = _data(batch=4, seed=11)
+    ctx = model.encode(params, None,
+                       jnp.asarray(existing.astype(np.int32)),
+                       jnp.asarray(lengths.astype(np.int32)))
+    res = beam_search(model, params, ctx, beam_size=5, start_id=START,
+                      end_id=END, max_len=12)
+    ours = np.asarray(res.tokens)
+    for b in range(4):
+        ref_seq = beam_search_slow(
+            tmodel, None,
+            torch.from_numpy(existing[b: b + 1]),
+            torch.from_numpy(lengths[b: b + 1]),
+            beam_size=5, start_id=START, end_id=END, max_len=12,
+        )
+        got = ours[b][: len(ref_seq)].tolist()
+        assert got == ref_seq, f"image {b}: {got} != {ref_seq}"
