@@ -80,15 +80,18 @@ def lstm_cell(
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, jax.Array]:
     """One LSTM step. Returns (h', c'). Gate math in fp32, matmuls in
-    compute_dtype (bf16 on the MXU by default in model configs)."""
+    compute_dtype (bf16 on the MXU by default in model configs).
+
+    The input and recurrent kernels are packed into ONE [D+H, 4H]
+    contraction: inside scan/while decode loops the weight concat is
+    loop-invariant (XLA hoists it), and a single MXU matmul beats two
+    half-width ones on this step's shapes."""
     dt = compute_dtype
-    z = (
-        jnp.dot(x.astype(dt), params.wx.astype(dt),
-                preferred_element_type=jnp.float32)
-        + jnp.dot(h.astype(dt), params.wh.astype(dt),
-                  preferred_element_type=jnp.float32)
-        + params.b
+    xh = jnp.concatenate([x.astype(dt), h.astype(dt)], axis=-1)
+    w = jnp.concatenate(
+        [params.wx.astype(dt), params.wh.astype(dt)], axis=0
     )
+    z = jnp.dot(xh, w, preferred_element_type=jnp.float32) + params.b
     i, f, g, o = jnp.split(z, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -109,17 +112,19 @@ def copy_lstm_cell(
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, jax.Array]:
     """One Copy-LSTM step: standard gates + copy gate blending c* into the
-    cell state (SURVEY.md §4.2 'Copy-LSTM' frame). Returns (h', c')."""
+    cell state (SURVEY.md §4.2 'Copy-LSTM' frame). Returns (h', c').
+
+    All five matmuls (i/f/g/o gates over [x|h] and the copy gate over
+    [x|h|c*]) run as two packed contractions — the weight concats are
+    loop-invariant inside decode loops and hoisted by XLA."""
     dt = compute_dtype
     xd = x.astype(dt)
     hd = h.astype(dt)
-    z = (
-        jnp.dot(xd, params.base.wx.astype(dt),
-                preferred_element_type=jnp.float32)
-        + jnp.dot(hd, params.base.wh.astype(dt),
-                  preferred_element_type=jnp.float32)
-        + params.base.b
+    xh = jnp.concatenate([xd, hd], axis=-1)
+    w_base = jnp.concatenate(
+        [params.base.wx.astype(dt), params.base.wh.astype(dt)], axis=0
     )
+    z = jnp.dot(xh, w_base, preferred_element_type=jnp.float32) + params.base.b
     i, f, g, o = jnp.split(z, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -127,13 +132,13 @@ def copy_lstm_cell(
     o = jax.nn.sigmoid(o)
     c_gen = f * c + i * g
 
+    xhc = jnp.concatenate([xh, c_star.astype(dt)], axis=-1)
+    w_r = jnp.concatenate(
+        [params.wrx.astype(dt), params.wrh.astype(dt),
+         params.wrc.astype(dt)], axis=0
+    )
     r = jax.nn.sigmoid(
-        jnp.dot(xd, params.wrx.astype(dt), preferred_element_type=jnp.float32)
-        + jnp.dot(hd, params.wrh.astype(dt),
-                  preferred_element_type=jnp.float32)
-        + jnp.dot(c_star.astype(dt), params.wrc.astype(dt),
-                  preferred_element_type=jnp.float32)
-        + params.br
+        jnp.dot(xhc, w_r, preferred_element_type=jnp.float32) + params.br
     )
     c_new = r * c_star + (1.0 - r) * c_gen
     h_new = o * jnp.tanh(c_new)
