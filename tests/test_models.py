@@ -66,7 +66,16 @@ def test_teacher_forcing_matches_manual_steps(arch):
 @pytest.mark.parametrize("arch", ["dcnet", "editnet"])
 def test_gradients_flow_everywhere(arch):
     cfg, model, params, ctx_unused = _setup(arch)
-    feats = jnp.ones((2, cfg.num_regions, cfg.feat_dim)) * 0.1
+    # Regions must DIFFER: with identical region features the attention
+    # weights cannot change the context, so the visual-attention scoring
+    # params receive an exactly-zero gradient (a property of the math, not
+    # a bug — a constant-features test passes or fails on rounding noise).
+    feats = jnp.asarray(
+        np.random.default_rng(3).standard_normal(
+            (2, cfg.num_regions, cfg.feat_dim)
+        ),
+        jnp.float32,
+    )
     existing = jnp.asarray([[2, 5, 6, 3, 0], [2, 7, 3, 0, 0]], jnp.int32)
     existing_len = jnp.asarray([4, 3], jnp.int32)
     target_in = jnp.asarray([[2, 8, 9], [2, 10, 11]], jnp.int32)
