@@ -1,0 +1,77 @@
+"""CLI surface tests: in-process main() calls over the synthetic dataset.
+
+These automate the flows previously only driven manually, so future
+rounds regress-check the whole user surface (SURVEY.md §2 L7)."""
+
+import json
+
+import pytest
+
+from captionkit.cli import main
+
+TINY = [
+    "--set", "model.emb_dim=24", "--set", "model.hidden_dim=24",
+    "--set", "model.att_dim=16", "--set", "model.feat_dim=16",
+    "--set", "model.num_regions=4", "--set", "data.max_len=12",
+    "--set", "decode.max_decode_len=10",
+]
+
+
+def test_cli_configs(capsys):
+    assert main(["configs"]) == 0
+    out = capsys.readouterr().out
+    for name in ("dcnet_greedy", "editnet_beam5", "xe_train", "scst_train"):
+        assert name in out
+
+
+def test_cli_decode_with_metrics(capsys):
+    rc = main(["decode", "--config", "editnet_greedy", "--synthetic",
+               "--images", "8", "--set", "decode.batch_size=8", *TINY])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "CIDEr" in out and out["captions"] == 8
+
+
+def test_cli_train_xe_with_buckets_and_resume(tmp_path, capsys):
+    ckpt_dir = str(tmp_path / "ck")
+    args = ["train-xe", "--config", "xe_train", "--synthetic",
+            "--images", "8", "--max-steps", "2", "--no-val",
+            "--set", "data.batch_size=8",
+            "--set", "data.bucket_boundaries=[8,10,12]",
+            "--set", f'train.checkpoint_dir="{ckpt_dir}"',
+            "--set", "train.log_every=1",
+            "--set", "train.donate_state=false", *TINY]
+    assert main(args) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["epochs_run"] == 1
+    # Resume continues from the saved step.
+    assert main(args + ["--resume"]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["epochs_run"] == 1
+
+
+def test_cli_train_scst_pipeline(tmp_path, capsys):
+    rc = main(["train-scst", "--config", "scst_train", "--synthetic",
+               "--images", "8", "--max-steps", "1", "--no-val", "--pipeline",
+               "--set", "data.batch_size=8",
+               "--set", f'train.checkpoint_dir="{tmp_path / "ck2"}"',
+               "--set", "train.donate_state=false",
+               "--set", "train.log_every=1", *TINY])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["epochs_run"] == 1
+
+
+def test_cli_decode_stacked(capsys):
+    rc = main(["decode-stacked", "--config", "editnet_beam5", "--synthetic",
+               "--images", "6", "--set", "decode.batch_size=6",
+               "--set", "decode.beam_size=3", *TINY])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["captions"] == 6
+    assert "CIDEr" in out
+
+
+def test_cli_bad_set_exits():
+    with pytest.raises(SystemExit):
+        main(["decode", "--config", "editnet_greedy", "--synthetic",
+              "--set", "nonsense"])
