@@ -1,0 +1,47 @@
+"""Driver-artifact regression tests: `__graft_entry__.dryrun_multichip`
+must self-provision the virtual device mesh under the driver's exact
+invocation (fresh interpreter, host-default env — round-1 MULTICHIP
+failure mode), including when the jax backend was already initialized
+short before the call (re-exec fallback)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    # Strip the conftest-applied CPU overrides so the child sees the same
+    # env the driver would (the host may re-latch its own platform there).
+    env.pop("_CAPTIONKIT_MULTICHIP_REEXEC", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_dryrun_multichip_driver_invocation():
+    proc = _run(
+        "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "one DP step ok" in proc.stdout
+
+
+def test_dryrun_multichip_after_backend_init():
+    # Backend initialized (possibly at 1 device) before the call: the
+    # fallback must re-exec a fresh interpreter and still succeed.
+    proc = _run(
+        "import jax; jax.devices(); "
+        "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "one DP step ok" in proc.stdout
