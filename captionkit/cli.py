@@ -82,6 +82,7 @@ def _load_dataset(args, cfg):
         existing_caplens_path=args.existing_lens,
         features_path=args.features,
         max_len=cfg.data.max_len,
+        captions_per_image=args.captions_per_image,
     )
     return ds, ds.eval_view()
 
@@ -314,6 +315,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--caplens"), sp.add_argument("--existing")
         sp.add_argument("--existing-lens", dest="existing_lens")
         sp.add_argument("--features", default="")
+        sp.add_argument("--captions-per-image", dest="captions_per_image",
+                        type=int, default=None,
+                        help="GT captions per image in raw artifacts "
+                             "(needed without --features to group "
+                             "references by image)")
         if with_params:
             sp.add_argument("--params", help="params .npz to load")
 

@@ -70,6 +70,7 @@ class CaptionDataset:
         existing_caplens_path: str,
         features_path: str = "",
         max_len: int = 22,
+        captions_per_image: Optional[int] = None,
     ) -> "CaptionDataset":
         """Read reference-prepared JSON/HDF5 artifacts (SURVEY.md §3.1)."""
         vocab = Vocab.load(wordmap_path)
@@ -98,8 +99,18 @@ class CaptionDataset:
         n_img = n if features is None else features.shape[0]
         # Reference layout: captions_per_image GT captions per image, stored
         # image-major; existing captions are per-image (repeated if needed).
-        cpi = max(1, n // max(1, n_img))
+        # With no features file the image count is not derivable from the
+        # artifacts — pass captions_per_image explicitly then.
+        cpi = captions_per_image or max(1, n // max(1, n_img))
         image_index = np.arange(n, dtype=np.int32) // cpi
+        # Reconstruct per-image reference captions from the GT rows so this
+        # path can score metrics and run SCST like the prepared/synthetic
+        # paths (ADVICE r1: previously silently decoded without metrics).
+        references: list[list[list[str]]] = [
+            [] for _ in range(int(image_index[-1]) + 1 if n else 0)
+        ]
+        for row, img in enumerate(image_index):
+            references[int(img)].append(vocab.decode(target[row]))
         return cls(
             features=features,
             existing=existing,
@@ -108,6 +119,7 @@ class CaptionDataset:
             target_len=target_len,
             image_index=image_index,
             vocab=vocab,
+            references=references,
         )
 
     @property

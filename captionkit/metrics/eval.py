@@ -8,6 +8,7 @@ reference's parity gate rides on BLEU/ROUGE/CIDEr (SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Mapping, Sequence
 from typing import Optional
 
@@ -16,19 +17,28 @@ from captionkit.metrics.bleu import bleu_scores
 from captionkit.metrics.cider import Cider, CiderD, NgramDocFreq
 from captionkit.metrics.rouge import rouge_l
 
+log = logging.getLogger(__name__)
+
 
 class CaptionEvaluator:
-    """evaluate({image_id: [ref strings]}, {image_id: hyp string}) -> dict."""
+    """evaluate({image_id: [ref strings]}, {image_id: hyp string}) -> dict.
+
+    The 'CIDEr' key carries CIDEr-D semantics (count clipping + Gaussian
+    length penalty): that is what the vendored cococaption reports under
+    the name 'CIDEr', and what every val/best-checkpoint/parity decision
+    keys on (SURVEY.md §2 L6). The textbook unclipped variant is available
+    as 'CIDEr-unclipped' via ``with_unclipped_cider``.
+    """
 
     def __init__(
         self,
         *,
         df: Optional[NgramDocFreq] = None,
-        with_cider_d: bool = False,
+        with_unclipped_cider: bool = False,
         use_external: bool = True,
     ):
-        self.cider = Cider(df)
-        self.cider_d = CiderD(df) if with_cider_d else None
+        self.cider = CiderD(df)
+        self.cider_unclipped = Cider(df) if with_unclipped_cider else None
         self.use_external = use_external
 
     def evaluate(
@@ -48,8 +58,10 @@ class CaptionEvaluator:
             out[f"BLEU-{n}"] = b
         out["ROUGE-L"] = rouge_l(hyp_tok, ref_tok)
         out["CIDEr"], _ = self.cider.compute(hyp_tok, ref_tok)
-        if self.cider_d is not None:
-            out["CIDEr-D"], _ = self.cider_d.compute(hyp_tok, ref_tok)
+        if self.cider_unclipped is not None:
+            out["CIDEr-unclipped"], _ = self.cider_unclipped.compute(
+                hyp_tok, ref_tok
+            )
         if self.use_external:
             from captionkit.metrics import external
 
@@ -57,7 +69,8 @@ class CaptionEvaluator:
                 try:
                     out[name] = scorer(references, hypotheses)
                 except Exception:  # jar run failed — metric stays absent
-                    pass
+                    log.warning("external scorer %s failed", name,
+                                exc_info=True)
         return out
 
 

@@ -89,8 +89,14 @@ def _make_val_decode_fn(model, val_dataset, cfg, mesh):
 
 
 def _validate(model, state, val_dataset, cfg, decode_fn=None) -> float:
+    # No external (JVM) scorers inside the training loop: SPICE alone can
+    # take minutes per call, and val CIDEr is the only signal used here
+    # (best-ckpt / early-stop / lr-decay). ADVICE r1.
+    from captionkit.metrics.eval import CaptionEvaluator
+
     metrics = evaluate_split(
-        model, state.params, val_dataset, cfg.decode, decode_fn=decode_fn
+        model, state.params, val_dataset, cfg.decode, decode_fn=decode_fn,
+        evaluator=CaptionEvaluator(use_external=False),
     )
     log.info("val metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
     return metrics.get("CIDEr", 0.0)
@@ -158,6 +164,7 @@ def run_xe_training(
                 meter_tok.update(float(m["tokens"]))
             pending_metrics.clear()
 
+        window_steps = 0
         for dev_batch in prefetch_to_device(host_batches, mesh=mesh):
             state, metrics = step_fn(state, dev_batch)
             steps_done += 1
@@ -165,14 +172,25 @@ def run_xe_training(
                 {"loss": metrics["loss"], "top5_acc": metrics["top5_acc"],
                  "tokens": metrics["tokens"]}
             )
-            # First step carries trace+compile; keep it out of the
-            # steady-state step clock (decode_split does the same for its
-            # captions/sec counter).
-            if steps_done > 1:
-                meter_bt.update(time.perf_counter() - t0)
-            t0 = time.perf_counter()
+            window_steps += 1
+            # First step carries trace+compile; drain (device_get blocks
+            # until the device finishes) and restart the clock so it stays
+            # out of the steady-state rate.
+            if steps_done == 1:
+                _drain()
+                t0 = time.perf_counter()
+                window_steps = 0
             if steps_done % tcfg.log_every == 0:
                 _drain()
+                # _drain synchronized on the device, so the elapsed window
+                # reflects device step latency, not async dispatch time
+                # (ADVICE r1: per-step dispatch clocks overstate early-epoch
+                # throughput until the queue backpressures).
+                now = time.perf_counter()
+                if window_steps:
+                    meter_bt.update((now - t0) / window_steps, n=window_steps)
+                t0 = now
+                window_steps = 0
                 log.info(
                     "epoch %d step %d loss %.4f top5 %.3f %.3fs/step",
                     epoch, steps_done, meter_loss.avg, meter_acc.avg,
@@ -190,6 +208,10 @@ def run_xe_training(
             if max_steps is not None and steps_done >= max_steps:
                 break
         _drain()
+        if window_steps:
+            meter_bt.update(
+                (time.perf_counter() - t0) / window_steps, n=window_steps
+            )
 
         epoch_stats = {
             "epoch": epoch, "loss": meter_loss.avg, "top5_acc": meter_acc.avg

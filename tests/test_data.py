@@ -200,3 +200,44 @@ def test_bucket_batches_truncates_to_boundary_and_preserves_numerics():
             return float(l)
 
         np.testing.assert_allclose(loss_of(fb), loss_of(bb), rtol=1e-6)
+
+
+def test_from_reference_files_reconstructs_references(tmp_path):
+    """Raw reference artifacts (--wordmap/--captions/...) must yield a
+    dataset that can score metrics / run SCST: per-image references are
+    reconstructed by decoding the GT caption rows (ADVICE r1)."""
+    import json
+
+    from captionkit.data.sources import CaptionDataset
+    from captionkit.data.vocab import Vocab
+
+    vocab = Vocab.build([["a", "dog", "runs"], ["a", "cat", "sits"]],
+                        min_freq=1)
+    caps = [["a", "dog", "runs"], ["a", "cat", "sits"],
+            ["a", "dog", "sits"], ["a", "cat", "runs"]]
+    max_len = 8
+    enc = [vocab.encode(c, max_len) for c in caps]
+    # 2 images x 2 captions_per_image, image-major (reference layout).
+    (tmp_path / "WORDMAP.json").write_text(json.dumps(vocab.word2id))
+    (tmp_path / "CAPTIONS.json").write_text(
+        json.dumps([ids for ids, _ in enc]))
+    (tmp_path / "CAPLENS.json").write_text(
+        json.dumps([ln for _, ln in enc]))
+    # existing captions: one per image, repeated per caption row
+    (tmp_path / "EXISTING.json").write_text(
+        json.dumps([enc[0][0], enc[0][0], enc[2][0], enc[2][0]]))
+    (tmp_path / "EXISTING_LENS.json").write_text(
+        json.dumps([enc[0][1]] * 2 + [enc[2][1]] * 2))
+
+    ds = CaptionDataset.from_reference_files(
+        wordmap_path=str(tmp_path / "WORDMAP.json"),
+        captions_path=str(tmp_path / "CAPTIONS.json"),
+        caplens_path=str(tmp_path / "CAPLENS.json"),
+        existing_captions_path=str(tmp_path / "EXISTING.json"),
+        existing_caplens_path=str(tmp_path / "EXISTING_LENS.json"),
+        max_len=max_len,
+        captions_per_image=2,
+    )
+    assert ds.references is not None and len(ds.references) == 2
+    assert ds.references[0] == [["a", "dog", "runs"], ["a", "cat", "sits"]]
+    assert ds.references[1] == [["a", "dog", "sits"], ["a", "cat", "runs"]]

@@ -132,11 +132,22 @@ def test_evaluator_end_to_end():
     }
     hyps = {1: "a man riding a horse on the beach",
             2: "two dogs playing in the park"}
-    out = evaluate_captions(refs, hyps, with_cider_d=True)
-    for k in ["BLEU-1", "BLEU-4", "ROUGE-L", "CIDEr", "CIDEr-D"]:
+    out = evaluate_captions(refs, hyps, with_unclipped_cider=True)
+    for k in ["BLEU-1", "BLEU-4", "ROUGE-L", "CIDEr", "CIDEr-unclipped"]:
         assert k in out, out
         assert 0.0 <= out[k] <= 10.0 + 1e-9
     assert out["BLEU-1"] > 0.5  # image 1 is a perfect match
+    # The 'CIDEr' key must carry CIDEr-D semantics (cococaption reports
+    # clipped+length-penalized under that name — ADVICE r1 high).
+    from captionkit.metrics.cider import CiderD
+    from captionkit.data.tokenize import ptb_tokenize
+
+    ids = sorted(hyps)
+    want, _ = CiderD().compute(
+        [ptb_tokenize(hyps[i]) for i in ids],
+        [[ptb_tokenize(r) for r in refs[i]] for i in ids],
+    )
+    assert abs(out["CIDEr"] - want) < 1e-12
 
 
 def test_evaluator_missing_refs():
