@@ -7,32 +7,56 @@ The reference pipeline tokenizes captions twice:
 2. Metric eval: PTBTokenizer via a Stanford CoreNLP *Java subprocess*
    (SURVEY.md §3.4). We replace that with `ptb_tokenize`, a pure-Python
    reimplementation of the PTB tokenizer behaviour that pycocoevalcap
-   relies on (punctuation stripping + splitting). It is host-side and
-   decode-time only, so Python is the right tool; the optional Java jar
-   adapter lives in captionkit.metrics.external.
+   relies on (CoreNLP `-preserveLines -lowerCase` tokenization, then
+   dropping its PUNCTUATIONS list). It is host-side and decode-time only,
+   so Python is the right tool; the optional Java jar adapter lives in
+   captionkit.metrics.external.
+
+Golden-tested against hand-recorded CoreNLP/PTB outputs in
+tests/test_tokenize_golden.py; knowingly-accepted divergences are listed
+in docs/PARITY.md (tokenizer section).
 """
 
 from __future__ import annotations
 
 import re
 
-# Punctuation the COCO PTBTokenizer path removes from captions. Mirrors the
-# PUNCTUATIONS list used by pycocoevalcap's PTBTokenizer wrapper (SURVEY.md
-# §3.4 ⟦cite: cococaption/tokenizer — mount empty⟧).
+# The PUNCTUATIONS list used by pycocoevalcap's PTBTokenizer wrapper
+# (SURVEY.md §3.4 ⟦cite: cococaption/tokenizer — mount empty⟧). Kept with
+# the original casing ON PURPOSE: pycocoevalcap filters the already-
+# lowercased token stream against this uppercase-bracket list, so
+# "-lrb-"/"-rrb-" tokens survive in its output. We replicate that
+# faithfully (metric parity beats prettiness).
 _PUNCTUATIONS = {
     "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
 }
 
-_CONTRACTION_RE = re.compile(
-    r"\b(can)(not)\b|\b(d)('ye)\b|\b(gim)(me)\b|\b(gon)(na)\b|"
-    r"\b(got)(ta)\b|\b(lem)(me)\b|\b(wan)(na)\b",
-    re.IGNORECASE,
-)
-# Split off clitics the way PTB does: n't, 'll, 're, 've, 'd, 's, 'm.
-_CLITIC_RE = re.compile(r"(n't|'ll|'re|'ve|'d|'s|'m)$", re.IGNORECASE)
-_WORD_RE = re.compile(r"[^\s]+")
-_PUNCT_SPLIT_RE = re.compile(r"([.,!?;:]+|'{2}|`{2}|\.\.\.)")
+# PTB multi-word contractions (tokenizer.sed): split points are fixed.
+_CONTRACTIONS = {
+    "cannot": ("can", "not"),
+    "gonna": ("gon", "na"),
+    "gotta": ("got", "ta"),
+    "wanna": ("wan", "na"),
+    "gimme": ("gim", "me"),
+    "lemme": ("lem", "me"),
+    "d'ye": ("d'", "ye"),
+    "'tis": ("'t", "is"),
+    "'twas": ("'t", "was"),
+    "more'n": ("more", "'n"),
+}
+# Clitics PTB splits off the host word: n't, 'll, 're, 've, 'd, 's, 'm.
+_CLITIC_RE = re.compile(r"(n't|'ll|'re|'ve|'d|'s|'m)$")
+# Tokens kept whole: numbers/times with internal separators (1,000 / 3.5 /
+# 10:30) and letter-period acronyms (u.s., e.g.) — CoreNLP keeps both.
+_NUMBER_RE = re.compile(r"^\d(?:[\d.,:]*\d)?$")
+_ABBREV_RE = re.compile(r"^(?:[a-z]\.){2,}$")
+_ATOM_TOKENS = {
+    "-lrb-", "-rrb-", "-lcb-", "-rcb-", "-lsb-", "-rsb-",
+    "--", "-", "...", "``", "''", "`", "'",
+}
+_TRAILING_PUNCT_RE = re.compile(r"(\.\.\.|[.,!?;:]+|'+)$")
+_INTERNAL_PUNCT_RE = re.compile(r"(\.\.\.|[.,!?;:]+)")
 
 
 def simple_tokenize(text: str) -> list[str]:
@@ -42,23 +66,69 @@ def simple_tokenize(text: str) -> list[str]:
     return [t for t in text.split() if t]
 
 
+def _split_token(tok: str) -> list[str]:
+    if not tok:
+        return []
+    if tok in _ATOM_TOKENS:
+        return [tok]
+    if tok in _CONTRACTIONS:
+        return list(_CONTRACTIONS[tok])
+    if _NUMBER_RE.match(tok) or _ABBREV_RE.match(tok):
+        return [tok]
+    if _CLITIC_RE.fullmatch(tok):  # a bare clitic has no host to split from
+        return [tok]
+    # Opening single quote -> ` (PTB prints openers as backticks).
+    if tok[0] == "'":
+        return ["`"] + _split_token(tok[1:])
+    # Peel one trailing punctuation run (sentence-final period, commas,
+    # plural possessive / closing quote) and recurse on the head — this
+    # lets "3.5." resolve to ["3.5", "."] and "don't," to [do, n't, ,].
+    # Runs split to single tokens ("!!!" -> "!","!","!") so the
+    # PUNCTUATIONS filter removes them all.
+    m = _TRAILING_PUNCT_RE.search(tok)
+    if m and m.start() > 0:
+        tail = m.group(0)
+        tails = [tail] if tail == "..." else (
+            ["'"] if set(tail) == {"'"} else list(tail)
+        )
+        return _split_token(tok[: m.start()]) + tails
+    # Remaining internal punctuation (e.g. "a,b" typos): split it out.
+    parts = [p for p in _INTERNAL_PUNCT_RE.split(tok) if p]
+    if len(parts) > 1:
+        out: list[str] = []
+        for p in parts:
+            out.extend([p] if _INTERNAL_PUNCT_RE.fullmatch(p)
+                       else _split_token(p))
+        return out
+    m = _CLITIC_RE.search(tok)
+    if m and m.start() > 0:
+        return [tok[: m.start()], tok[m.start():]]
+    return [tok]
+
+
+def ptb_split(text: str) -> list[str]:
+    """Full PTB token stream (lowercased), before punctuation removal."""
+    t = " " + text.lower().strip() + " "
+    t = (
+        t.replace("(", " -lrb- ").replace(")", " -rrb- ")
+        .replace("{", " -lcb- ").replace("}", " -rcb- ")
+        .replace("[", " -lsb- ").replace("]", " -rsb- ")
+    )
+    # Double quotes: opener after whitespace -> ``, closer -> ''.
+    t = re.sub(r'(?<=\s)"', " `` ", t)
+    t = t.replace('"', " '' ")
+    t = t.replace("--", " -- ")
+    out: list[str] = []
+    for raw in t.split():
+        out.extend(_split_token(raw))
+    return out
+
+
 def ptb_tokenize(text: str) -> list[str]:
-    """PTB-style tokenization matching the cococaption eval path closely
-    enough for metric parity on ASCII captions: lowercase, split punctuation
-    into tokens, split clitics, then drop PTB punctuation tokens."""
-    text = text.lower().strip()
-    pieces: list[str] = []
-    for raw in _WORD_RE.findall(text):
-        for part in _PUNCT_SPLIT_RE.split(raw):
-            if not part:
-                continue
-            m = _CLITIC_RE.search(part)
-            if m and m.start() > 0:
-                pieces.append(part[: m.start()])
-                pieces.append(part[m.start():])
-            else:
-                pieces.append(part)
-    return [p for p in pieces if p not in _PUNCTUATIONS]
+    """PTB-style tokenization matching the cococaption eval path: CoreNLP
+    lowercased tokenization followed by dropping pycocoevalcap's
+    PUNCTUATIONS tokens."""
+    return [p for p in ptb_split(text) if p not in _PUNCTUATIONS]
 
 
 def ptb_tokenize_to_string(text: str) -> str:

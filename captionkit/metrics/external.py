@@ -7,7 +7,10 @@ interface — but only activates them when the jars (and a JVM) exist on this
 machine. Nothing in training, decoding, or the parity gate depends on them.
 
 Jar discovery: $CAPTIONKIT_METEOR_JAR / $CAPTIONKIT_SPICE_JAR, else a few
-conventional paths.
+conventional paths — resolved at call time so tests (and late installs)
+can point at jars after import. $CAPTIONKIT_JAVA overrides the JVM binary,
+which also lets the test suite exercise the full stdio/temp-JSON protocols
+against a scripted stand-in jar (VERDICT r1 #6).
 """
 
 from __future__ import annotations
@@ -19,17 +22,6 @@ import tempfile
 from collections.abc import Mapping, Sequence
 from typing import Callable
 
-_METEOR_PATHS = [
-    os.environ.get("CAPTIONKIT_METEOR_JAR", ""),
-    "third_party/meteor/meteor-1.5.jar",
-    "/opt/meteor/meteor-1.5.jar",
-]
-_SPICE_PATHS = [
-    os.environ.get("CAPTIONKIT_SPICE_JAR", ""),
-    "third_party/spice/spice-1.0.jar",
-    "/opt/spice/spice-1.0.jar",
-]
-
 
 def _find(paths: list[str]) -> str | None:
     for p in paths:
@@ -38,16 +30,32 @@ def _find(paths: list[str]) -> str | None:
     return None
 
 
-def _have_java() -> bool:
-    return shutil.which("java") is not None
+def _meteor_jar() -> str | None:
+    return _find([
+        os.environ.get("CAPTIONKIT_METEOR_JAR", ""),
+        "third_party/meteor/meteor-1.5.jar",
+        "/opt/meteor/meteor-1.5.jar",
+    ])
+
+
+def _spice_jar() -> str | None:
+    return _find([
+        os.environ.get("CAPTIONKIT_SPICE_JAR", ""),
+        "third_party/spice/spice-1.0.jar",
+        "/opt/spice/spice-1.0.jar",
+    ])
+
+
+def _java() -> str | None:
+    return os.environ.get("CAPTIONKIT_JAVA") or shutil.which("java")
 
 
 def meteor_available() -> bool:
-    return _have_java() and _find(_METEOR_PATHS) is not None
+    return _java() is not None and _meteor_jar() is not None
 
 
 def spice_available() -> bool:
-    return _have_java() and _find(_SPICE_PATHS) is not None
+    return _java() is not None and _spice_jar() is not None
 
 
 def meteor_score(
@@ -59,18 +67,22 @@ def meteor_score(
     IMMEDIATELY (interleaved, so pipe buffers never fill), then a single
     EVAL line carrying every per-image stats blob; the jar replies with one
     score per image followed by the stats-aggregated corpus score."""
-    jar = _find(_METEOR_PATHS)
-    if jar is None or not _have_java():
+    jar, java = _meteor_jar(), _java()
+    if jar is None or java is None:
         raise RuntimeError("METEOR jar/JVM not available on this host")
     ids = sorted(hypotheses.keys(), key=str)
     proc = subprocess.Popen(
-        ["java", "-jar", jar, "-", "-", "-stdio", "-l", "en", "-norm"],
+        [java, "-jar", jar, "-", "-", "-stdio", "-l", "en", "-norm"],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
     )
     try:
         stats = []
         for i in ids:
-            refs = "|||".join(r.replace("|||", " ") for r in references[i])
+            # refs are ' ||| '-separated fields of the SCORE line, same as
+            # the hypothesis (pycocoevalcap Meteor._stat wire format).
+            refs = " ||| ".join(
+                r.replace("|||", " ") for r in references[i]
+            )
             hyp = hypotheses[i].replace("|||", " ")
             proc.stdin.write(f"SCORE ||| {refs} ||| {hyp}\n")
             proc.stdin.flush()
@@ -91,8 +103,8 @@ def spice_score(
     hypotheses: Mapping[object, str],
 ) -> float:
     """SPICE via the jar's temp-JSON protocol (SURVEY.md §4.5)."""
-    jar = _find(_SPICE_PATHS)
-    if jar is None or not _have_java():
+    jar, java = _spice_jar(), _java()
+    if jar is None or java is None:
         raise RuntimeError("SPICE jar/JVM not available on this host")
     import json
 
@@ -108,7 +120,7 @@ def spice_score(
         with open(inp, "w") as f:
             json.dump(payload, f)
         subprocess.run(
-            ["java", "-Xmx8G", "-jar", jar, inp, "-out", outp,
+            [java, "-Xmx8G", "-jar", jar, inp, "-out", outp,
              "-subset", "-silent"],
             check=True, timeout=1800,
         )

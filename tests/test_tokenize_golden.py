@@ -1,0 +1,88 @@
+"""PTBTokenizer golden suite (VERDICT r1 #7).
+
+Expected outputs are hand-derived from the published PTB tokenizer rules
+(tokenizer.sed / CoreNLP PTBTokenizer with -preserveLines -lowerCase) plus
+pycocoevalcap's post-filter, which drops tokens found in its PUNCTUATIONS
+list. Two deliberate faithfulness notes (see docs/PARITY.md):
+
+* Bracket tokens survive lowercase ("-lrb-" vs the list's "-LRB-") because
+  pycocoevalcap filters the lowercased stream against an uppercase list —
+  we replicate that behavior, bug and all.
+* Unknown-abbreviation handling is approximated (letter-period acronyms
+  like "u.s." kept whole; arbitrary abbreviation dictionaries are not).
+"""
+
+import pytest
+
+from captionkit.data.tokenize import ptb_split, ptb_tokenize
+
+GOLDEN = [
+    # (input, expected ptb_tokenize output)
+    ("A man riding a horse.", ["a", "man", "riding", "a", "horse"]),
+    ("Don't stop the dog.", ["do", "n't", "stop", "the", "dog"]),
+    ("He can't and won't jump!", ["he", "ca", "n't", "and", "wo", "n't",
+                                  "jump"]),
+    ("We cannot see it.", ["we", "can", "not", "see", "it"]),
+    ("He's gonna ride it.", ["he", "'s", "gon", "na", "ride", "it"]),
+    ("I wanna play; you gotta watch.", ["i", "wan", "na", "play", "you",
+                                        "got", "ta", "watch"]),
+    ("Gimme the ball, lemme go.", ["gim", "me", "the", "ball", "lem",
+                                   "me", "go"]),
+    ("The dog's bone and the dogs' toys.", ["the", "dog", "'s", "bone",
+                                            "and", "the", "dogs", "toys"]),
+    ("I'm sure they'll win; we're done, I've said he'd go.",
+     ["i", "'m", "sure", "they", "'ll", "win", "we", "'re", "done",
+      "i", "'ve", "said", "he", "'d", "go"]),
+    # hyphenated words stay whole; standalone dashes are dropped
+    ("A well-known man -- yes - him.", ["a", "well-known", "man", "yes",
+                                        "him"]),
+    # numbers / times keep internal separators
+    ("There are 1,000 people.", ["there", "are", "1,000", "people"]),
+    ("It is 3.5 meters tall.", ["it", "is", "3.5", "meters", "tall"]),
+    ("a bus at 10:30 in the morning", ["a", "bus", "at", "10:30", "in",
+                                       "the", "morning"]),
+    # quotes are tokenized to ``/''/`/' and dropped by the filter
+    ('"Hello," she said...', ["hello", "she", "said"]),
+    ("the 'best' cake", ["the", "best", "cake"]),
+    # brackets: lowercased -lrb-/-rrb- survive pycocoevalcap's filter
+    ("A cat (on a mat).", ["a", "cat", "-lrb-", "on", "a", "mat",
+                           "-rrb-"]),
+    # acronyms with periods stay whole
+    ("a u.s. flag on a pole", ["a", "u.s.", "flag", "on", "a", "pole"]),
+    # multi-punctuation runs
+    ("wow!!! really?!", ["wow", "really"]),
+    ("wait... what?", ["wait", "what"]),
+    # whitespace robustness
+    ("  two   dogs  ", ["two", "dogs"]),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN, ids=[g[0][:30] or "empty"
+                                                       for g in GOLDEN])
+def test_ptb_tokenize_golden(text, expected):
+    assert ptb_tokenize(text) == expected
+
+
+FULL_STREAM = [
+    # pre-filter stream checks: punctuation tokens are split, not deleted
+    ("Don't stop.", ["do", "n't", "stop", "."]),
+    ('"Hi," he said.', ["``", "hi", ",", "''", "he", "said", "."]),
+    ("the dogs' toys", ["the", "dogs", "'", "toys"]),
+    ("'best'", ["`", "best", "'"]),
+    ("A cat (black).", ["a", "cat", "-lrb-", "black", "-rrb-", "."]),
+    ("it is 3.5.", ["it", "is", "3.5", "."]),
+    ("so -- anyway", ["so", "--", "anyway"]),
+    ("wait...", ["wait", "..."]),
+]
+
+
+@pytest.mark.parametrize("text,expected", FULL_STREAM,
+                         ids=[g[0][:30] for g in FULL_STREAM])
+def test_ptb_split_stream(text, expected):
+    assert ptb_split(text) == expected
+
+
+def test_clitic_alone_not_split():
+    # a bare clitic token has no host word to split from
+    assert ptb_split("n't 's") == ["n't", "'s"]
