@@ -275,12 +275,48 @@ def cmd_decode_stacked(args) -> int:
     return 0
 
 
+def _load_name_map(path):
+    if not path:
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def cmd_convert(args) -> int:
     from captionkit.convert.torch_import import convert_torch_checkpoint
 
-    out = convert_torch_checkpoint(args.torch, args.arch, args.out)
+    out = convert_torch_checkpoint(
+        args.torch, args.arch, args.out,
+        name_map=_load_name_map(args.name_map),
+    )
     print(f"wrote {out}")
     return 0
+
+
+def cmd_parity_gate(args) -> int:
+    """convert -> greedy-identical -> beam CIDEr, as one command
+    (VERDICT r1 #5; BASELINE fidelity gate)."""
+    import dataclasses
+
+    from captionkit.convert.gate import run_parity_gate
+
+    cfg = _apply_overrides(get_named_config(args.config), args.set)
+    _, eval_ds = _load_dataset(args, cfg)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, vocab_size=len(eval_ds.vocab)
+        )
+    )
+    report = run_parity_gate(
+        args.ckpt, cfg, eval_ds,
+        name_map=_load_name_map(args.name_map),
+        expected_cider=args.expected_cider,
+        cider_tol=args.cider_tol,
+        max_images=args.max_images,
+        out_params_path=args.out,
+    )
+    print(json.dumps(report, indent=2, default=str))
+    return 0 if report["ok"] else 1
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -356,6 +392,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--torch", required=True)
     sp.add_argument("--arch", required=True, choices=["dcnet", "editnet"])
     sp.add_argument("--out", required=True)
+    sp.add_argument("--name-map", dest="name_map",
+                    help="JSON overrides for the checkpoint module-name "
+                         "table (see convert.torch_import.DEFAULT_NAME_MAPS)")
+
+    sp = sub.add_parser(
+        "parity-gate",
+        help="torch ckpt -> convert -> greedy-identical -> beam CIDEr "
+             "tolerance, in one command",
+    )
+    add_common(sp, with_params=False)
+    sp.add_argument("--ckpt", required=True, help="torch checkpoint path")
+    sp.add_argument("--name-map", dest="name_map",
+                    help="JSON overrides for the checkpoint module-name "
+                         "table")
+    sp.add_argument("--expected-cider", dest="expected_cider", type=float,
+                    help="published CIDEr to gate against (+/- tol)")
+    sp.add_argument("--cider-tol", dest="cider_tol", type=float, default=0.2)
+    sp.add_argument("--max-images", dest="max_images", type=int,
+                    help="cap greedy-identical comparison size")
+    sp.add_argument("--out", help="also write converted params .npz here")
     return p
 
 
@@ -366,6 +422,7 @@ _COMMANDS = {
     "train-xe": cmd_train_xe,
     "train-scst": cmd_train_scst,
     "convert": cmd_convert,
+    "parity-gate": cmd_parity_gate,
 }
 
 

@@ -1,0 +1,196 @@
+"""One-command parity gate: torch checkpoint -> convert -> greedy-identical
+-> beam CIDEr within tolerance (VERDICT r1 #5; SURVEY.md §8.1 step 5).
+
+The day real released checkpoints materialize, the whole fidelity gate is:
+
+    python -m captionkit.cli parity-gate --config editnet_beam5 \
+        --ckpt BEST_checkpoint.pth.tar --synthetic ... \
+        [--name-map fitted_names.json] [--expected-cider 1.17]
+
+Checks, in order:
+
+1. **convert** — the name-mapped state dict converts with strict key
+   exhaustion (fails loudly on unknown layouts; fit via --name-map JSON).
+2. **greedy-identical** — captionkit greedy decode must produce the exact
+   token sequences of the torch twin running the same weights, per image.
+   Skipped (reported, not failed) when the state dict does not load into
+   the twin layout — e.g. a real checkpoint whose module names were
+   fitted via --name-map but whose twin would need the same fitting.
+3. **beam CIDEr** — beam decode the eval split, score CIDEr(-D semantics),
+   compare against --expected-cider +/- tol when given (BASELINE's
+   "CIDEr +/- 0.2" gate).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+import numpy as np
+
+from captionkit.convert.torch_import import (
+    load_torch_state_dict,
+    params_from_state_dict,
+    resolve_name_map,
+)
+
+
+def _twin_greedy(tmodel, arch, feats, existing, lengths, *, start_id,
+                 end_id, max_len):
+    """Reference-style per-image greedy loop on the torch twin."""
+    import torch
+
+    out = []
+    with torch.no_grad():
+        for b in range(existing.shape[0]):
+            ex = torch.from_numpy(existing[b: b + 1].astype(np.int64))
+            ln = torch.from_numpy(lengths[b: b + 1].astype(np.int64))
+            if arch == "dcnet":
+                tctx = tmodel.encode(ex, ln)
+            else:
+                ft = torch.from_numpy(feats[b: b + 1])
+                tctx = tmodel.encode(ft, ex, ln)
+            tstate = list(tmodel.init_state(tctx))
+            tok = torch.full((1,), start_id, dtype=torch.long)
+            seq: list[int] = []
+            for _ in range(max_len):
+                step_out = tmodel.step(tctx, *tstate, tok)
+                tstate, logits = list(step_out[:-1]), step_out[-1]
+                tok = logits.argmax(-1)
+                seq.append(int(tok))
+                if int(tok) == end_id:
+                    break
+            out.append(seq)
+    return out
+
+
+def _build_twin(mcfg, raw, name_map):
+    """Torch twin sized from the model config, loaded with the checkpoint
+    weights. Returns (twin, None) or (None, reason)."""
+    import torch
+
+    from captionkit.convert.torch_ref import TorchDCNet, TorchEditNet
+
+    nm = resolve_name_map(mcfg.arch, name_map)
+    strip = str(nm["__strip_prefix__"])
+    if mcfg.arch == "dcnet":
+        twin = TorchDCNet(mcfg.vocab_size, mcfg.emb_dim, mcfg.hidden_dim,
+                          mcfg.att_dim)
+    else:
+        twin = TorchEditNet(mcfg.vocab_size, mcfg.emb_dim, mcfg.hidden_dim,
+                            mcfg.att_dim, mcfg.feat_dim)
+    stripped = {
+        (k[len(strip):] if strip and k.startswith(strip) else k):
+            torch.as_tensor(np.asarray(v.detach().cpu().numpy()
+                                       if hasattr(v, "detach") else v))
+        for k, v in raw.items()
+    }
+    try:
+        twin.load_state_dict(stripped, strict=True)
+    except Exception as e:  # noqa: BLE001 — report, don't crash the gate
+        return None, f"state dict does not fit the torch twin layout: {e}"
+    return twin.eval(), None
+
+
+def run_parity_gate(
+    ckpt_path: str,
+    cfg,
+    dataset,
+    *,
+    name_map: Optional[Mapping[str, object]] = None,
+    expected_cider: Optional[float] = None,
+    cider_tol: float = 0.2,
+    max_images: Optional[int] = None,
+    out_params_path: Optional[str] = None,
+) -> dict:
+    """Run the full gate; returns a JSON-able report with per-check status
+    and overall "ok"."""
+    import jax.numpy as jnp
+
+    from captionkit.decode import greedy_decode
+    from captionkit.decode.driver import evaluate_split
+    from captionkit.models import get_model
+    from captionkit.train.checkpoint import save_params_npz
+
+    report: dict = {"checkpoint": ckpt_path, "arch": cfg.model.arch,
+                    "checks": {}}
+    vocab = dataset.vocab
+
+    # -- 1. convert ---------------------------------------------------------
+    raw = load_torch_state_dict(ckpt_path)
+    try:
+        params = params_from_state_dict(raw, cfg.model.arch, name_map)
+    except (KeyError, ValueError) as e:
+        report["checks"]["convert"] = {"status": "fail", "error": str(e)}
+        report["ok"] = False
+        return report
+    report["checks"]["convert"] = {"status": "pass",
+                                   "keys": len(dict(raw))}
+    if out_params_path:
+        save_params_npz(params, out_params_path)
+        report["params_npz"] = out_params_path
+
+    model = get_model(cfg.model)
+    eval_ds = dataset.eval_view() if dataset.target is not None else dataset
+
+    # -- 2. greedy-identical ------------------------------------------------
+    twin, reason = _build_twin(cfg.model, raw, name_map)
+    if twin is None:
+        report["checks"]["greedy_identical"] = {
+            "status": "skipped", "reason": reason,
+        }
+    else:
+        n = eval_ds.size if max_images is None else min(max_images,
+                                                        eval_ds.size)
+        feats = (np.asarray(eval_ds.features[:n], np.float32)
+                 if eval_ds.features is not None else None)
+        existing = np.asarray(eval_ds.existing[:n])
+        lengths = np.asarray(eval_ds.existing_len[:n])
+        max_len = cfg.decode.max_decode_len
+        ctx = model.encode(
+            params,
+            None if feats is None else jnp.asarray(feats),
+            jnp.asarray(existing.astype(np.int32)),
+            jnp.asarray(lengths.astype(np.int32)),
+        )
+        ours = np.asarray(
+            greedy_decode(model, params, ctx, start_id=vocab.start,
+                          end_id=vocab.end, max_len=max_len).tokens
+        )
+        twin_seqs = _twin_greedy(
+            twin, cfg.model.arch, feats, existing, lengths,
+            start_id=vocab.start, end_id=vocab.end, max_len=max_len,
+        )
+        mismatches = []
+        for b, ref_seq in enumerate(twin_seqs):
+            got = ours[b][: len(ref_seq)].tolist()
+            if got != ref_seq:
+                mismatches.append(
+                    {"image": b, "ours": got, "twin": ref_seq}
+                )
+        report["checks"]["greedy_identical"] = {
+            "status": "pass" if not mismatches else "fail",
+            "images": int(len(twin_seqs)),
+            "mismatches": mismatches[:5],
+        }
+
+    # -- 3. beam CIDEr ------------------------------------------------------
+    if dataset.references is None:
+        report["checks"]["beam_cider"] = {
+            "status": "skipped", "reason": "dataset has no references",
+        }
+    else:
+        metrics = evaluate_split(model, params, eval_ds, cfg.decode)
+        cider = metrics.get("CIDEr", float("nan"))
+        check = {"status": "pass", "cider": cider,
+                 "bleu4": metrics.get("BLEU-4")}
+        if expected_cider is not None:
+            check["expected"] = expected_cider
+            check["tolerance"] = cider_tol
+            if not abs(cider - expected_cider) <= cider_tol:
+                check["status"] = "fail"
+        report["checks"]["beam_cider"] = check
+
+    report["ok"] = all(
+        c["status"] != "fail" for c in report["checks"].values()
+    )
+    return report

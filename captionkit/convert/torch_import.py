@@ -3,7 +3,10 @@
 Name mapping follows the tutorial-family module layout documented in
 convert.torch_ref (the expected reference checkpoint shape; real released
 checkpoints must be re-verified against this map when the mount is fixed —
-SURVEY.md §0 citation-backfill note). Conversion rules:
+SURVEY.md §0 citation-backfill note). The module names are an overridable
+*data table* (DEFAULT_NAME_MAPS + a JSON/dict override), so fitting a real
+checkpoint layout is a data edit, not a code change (VERDICT r1 #5).
+Conversion rules:
 
 * torch Linear weight [out, in] -> transposed [in, out].
 * torch LSTM gate blocks stay in (i, f, g, o) order; bias_ih + bias_hh sum
@@ -15,7 +18,7 @@ SURVEY.md §0 citation-backfill note). Conversion rules:
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +26,74 @@ import numpy as np
 
 from captionkit.nn.attention import AdditiveAttentionParams
 from captionkit.nn.cells import CopyLSTMParams, LSTMParams
+
+# -- name-map indirection ----------------------------------------------------
+# Logical component -> checkpoint module prefix. '__'-keys customize
+# cross-cutting conventions: a global key prefix to strip, LSTM leaf names,
+# attention sub-module names. Override any subset via `name_map=` (or the
+# CLI's --name-map JSON file).
+
+_COMMON = {
+    "__strip_prefix__": "",
+    "__lstm_wih__": "weight_ih",
+    "__lstm_whh__": "weight_hh",
+    "__lstm_bih__": "bias_ih",
+    "__lstm_bhh__": "bias_hh",
+    "__att_enc__": "encoder_att",
+    "__att_dec__": "decoder_att",
+    "__att_full__": "full_att",
+    "__linear_w__": "weight",
+    "__linear_b__": "bias",
+    "__ignore_prefixes__": [],
+}
+
+DEFAULT_NAME_MAPS: dict[str, dict[str, object]] = {
+    "dcnet": {
+        **_COMMON,
+        "embedding": "embedding.weight",
+        "encoder": "encoder",
+        "attention": "attention",
+        "gate": "f_beta",
+        "decoder": "decode_step",
+        "fc": "fc",
+        "init_h": "init_h",
+        "init_c": "init_c",
+    },
+    "editnet": {
+        **_COMMON,
+        "embedding": "embedding.weight",
+        "encoder": "encoder",
+        "att_lstm": "att_lstm",
+        "vis_attention": "vis_attention",
+        "vis_gate": "f_beta",
+        "scma": "scma",
+        "lang_lstm": "lang_lstm",
+        "lang_lstm.base": "base",
+        "lang_lstm.wrx": "weight_rx",
+        "lang_lstm.wrh": "weight_rh",
+        "lang_lstm.wrc": "weight_rc",
+        "lang_lstm.br": "bias_r",
+        "fc": "fc",
+    },
+}
+
+
+def resolve_name_map(
+    arch: str, override: Optional[Mapping[str, object]] = None
+) -> dict[str, object]:
+    """Default map for `arch`, with `override` entries layered on top."""
+    if arch not in DEFAULT_NAME_MAPS:
+        raise ValueError(f"unknown arch {arch!r}")
+    out = dict(DEFAULT_NAME_MAPS[arch])
+    if override:
+        unknown = set(override) - set(out)
+        if unknown:
+            raise KeyError(
+                f"name-map override has unknown entries {sorted(unknown)}; "
+                f"valid entries: {sorted(out)}"
+            )
+        out.update(override)
+    return out
 
 
 def _device_tree(tree):
@@ -45,7 +116,13 @@ def _np(t) -> np.ndarray:
 class StateDict:
     """Tracks consumed keys so unmapped parameters are loud, not silent."""
 
-    def __init__(self, raw: Mapping[str, object]):
+    def __init__(self, raw: Mapping[str, object], strip_prefix: str = ""):
+        if strip_prefix:
+            raw = {
+                (k[len(strip_prefix):] if k.startswith(strip_prefix) else k):
+                    v
+                for k, v in raw.items()
+            }
         self.raw = dict(raw)
         self.used: set[str] = set()
 
@@ -73,87 +150,109 @@ class StateDict:
             raise ValueError(f"unconverted checkpoint keys: {sorted(left)}")
 
 
-def lstm_from(sd: StateDict, prefix: str) -> LSTMParams:
-    wih = sd.take(f"{prefix}.weight_ih")
-    whh = sd.take(f"{prefix}.weight_hh")
-    b = sd.take(f"{prefix}.bias_ih") + sd.take(f"{prefix}.bias_hh")
+def lstm_from(sd: StateDict, prefix: str, nm: Mapping[str, object]
+              ) -> LSTMParams:
+    wih = sd.take(f"{prefix}.{nm['__lstm_wih__']}")
+    whh = sd.take(f"{prefix}.{nm['__lstm_whh__']}")
+    b = (sd.take(f"{prefix}.{nm['__lstm_bih__']}")
+         + sd.take(f"{prefix}.{nm['__lstm_bhh__']}"))
     return LSTMParams(wx=wih.T.copy(), wh=whh.T.copy(), b=b)
 
 
-def attention_from(sd: StateDict, prefix: str,
-                   enc_name: str = "encoder_att") -> AdditiveAttentionParams:
-    w_enc = sd.take(f"{prefix}.{enc_name}.weight").T.copy()
-    b_enc = sd.take(f"{prefix}.{enc_name}.bias")
-    w_q = sd.take(f"{prefix}.decoder_att.weight").T.copy()
-    b_q = sd.take(f"{prefix}.decoder_att.bias")
-    v = sd.take(f"{prefix}.full_att.weight").reshape(-1)
-    sd.take_optional(f"{prefix}.full_att.bias")  # softmax-invariant shift
+def _linear(sd: StateDict, prefix: str, nm: Mapping[str, object]):
+    return (sd.take(f"{prefix}.{nm['__linear_w__']}").T.copy(),
+            sd.take(f"{prefix}.{nm['__linear_b__']}"))
+
+
+def attention_from(sd: StateDict, prefix: str, nm: Mapping[str, object]
+                   ) -> AdditiveAttentionParams:
+    w, b = nm["__linear_w__"], nm["__linear_b__"]
+    w_enc = sd.take(f"{prefix}.{nm['__att_enc__']}.{w}").T.copy()
+    b_enc = sd.take(f"{prefix}.{nm['__att_enc__']}.{b}")
+    w_q = sd.take(f"{prefix}.{nm['__att_dec__']}.{w}").T.copy()
+    b_q = sd.take(f"{prefix}.{nm['__att_dec__']}.{b}")
+    v = sd.take(f"{prefix}.{nm['__att_full__']}.{w}").reshape(-1)
+    # softmax-invariant score shift: checked-and-dropped
+    sd.take_optional(f"{prefix}.{nm['__att_full__']}.{b}")
     return AdditiveAttentionParams(w_enc=w_enc, w_q=w_q, v=v, b=b_enc + b_q)
 
 
-def copy_lstm_from(sd: StateDict, prefix: str) -> CopyLSTMParams:
-    base = lstm_from(sd, f"{prefix}.base")
+def copy_lstm_from(sd: StateDict, prefix: str, nm: Mapping[str, object]
+                   ) -> CopyLSTMParams:
+    base = lstm_from(sd, f"{prefix}.{nm['lang_lstm.base']}", nm)
     return CopyLSTMParams(
         base=base,
-        wrx=sd.take(f"{prefix}.weight_rx").T.copy(),
-        wrh=sd.take(f"{prefix}.weight_rh").T.copy(),
-        wrc=sd.take(f"{prefix}.weight_rc").T.copy(),
-        br=sd.take(f"{prefix}.bias_r"),
+        wrx=sd.take(f"{prefix}.{nm['lang_lstm.wrx']}").T.copy(),
+        wrh=sd.take(f"{prefix}.{nm['lang_lstm.wrh']}").T.copy(),
+        wrc=sd.take(f"{prefix}.{nm['lang_lstm.wrc']}").T.copy(),
+        br=sd.take(f"{prefix}.{nm['lang_lstm.br']}"),
     )
 
 
-def dcnet_params_from_state_dict(raw: Mapping[str, object]):
+def dcnet_params_from_state_dict(
+    raw: Mapping[str, object],
+    name_map: Optional[Mapping[str, object]] = None,
+):
     from captionkit.models.dcnet import DCNetParams
 
-    sd = StateDict(raw)
+    nm = resolve_name_map("dcnet", name_map)
+    sd = StateDict(raw, strip_prefix=str(nm["__strip_prefix__"]))
+    gate_w, gate_b = _linear(sd, str(nm["gate"]), nm)
+    fc_w, fc_b = _linear(sd, str(nm["fc"]), nm)
+    init_h_w, init_h_b = _linear(sd, str(nm["init_h"]), nm)
+    init_c_w, init_c_b = _linear(sd, str(nm["init_c"]), nm)
     params = DCNetParams(
-        embedding=sd.take("embedding.weight"),
-        encoder=lstm_from(sd, "encoder"),
-        attention=attention_from(sd, "attention"),
-        gate_w=sd.take("f_beta.weight").T.copy(),
-        gate_b=sd.take("f_beta.bias"),
-        decoder=lstm_from(sd, "decode_step"),
-        fc_w=sd.take("fc.weight").T.copy(),
-        fc_b=sd.take("fc.bias"),
+        embedding=sd.take(str(nm["embedding"])),
+        encoder=lstm_from(sd, str(nm["encoder"]), nm),
+        attention=attention_from(sd, str(nm["attention"]), nm),
+        gate_w=gate_w,
+        gate_b=gate_b,
+        decoder=lstm_from(sd, str(nm["decoder"]), nm),
+        fc_w=fc_w,
+        fc_b=fc_b,
         vis_attention=None,
-        init_h_w=sd.take("init_h.weight").T.copy(),
-        init_c_w=sd.take("init_c.weight").T.copy(),
-        init_h_b=sd.take("init_h.bias"),
-        init_c_b=sd.take("init_c.bias"),
+        init_h_w=init_h_w,
+        init_c_w=init_c_w,
+        init_h_b=init_h_b,
+        init_c_b=init_c_b,
     )
-    sd.assert_exhausted()
+    sd.assert_exhausted(tuple(nm["__ignore_prefixes__"]))
     return _device_tree(params)
 
 
-def editnet_params_from_state_dict(raw: Mapping[str, object]):
+def editnet_params_from_state_dict(
+    raw: Mapping[str, object],
+    name_map: Optional[Mapping[str, object]] = None,
+):
     from captionkit.models.editnet import EditNetParams
 
-    sd = StateDict(raw)
+    nm = resolve_name_map("editnet", name_map)
+    sd = StateDict(raw, strip_prefix=str(nm["__strip_prefix__"]))
+    vis_gate_w, vis_gate_b = _linear(sd, str(nm["vis_gate"]), nm)
+    fc_w, fc_b = _linear(sd, str(nm["fc"]), nm)
     params = EditNetParams(
-        embedding=sd.take("embedding.weight"),
-        encoder=lstm_from(sd, "encoder"),
-        att_lstm=lstm_from(sd, "att_lstm"),
-        vis_attention=attention_from(sd, "vis_attention"),
-        vis_gate_w=sd.take("f_beta.weight").T.copy(),
-        vis_gate_b=sd.take("f_beta.bias"),
-        scma=attention_from(sd, "scma"),
-        lang_lstm=copy_lstm_from(sd, "lang_lstm"),
-        fc_w=sd.take("fc.weight").T.copy(),
-        fc_b=sd.take("fc.bias"),
+        embedding=sd.take(str(nm["embedding"])),
+        encoder=lstm_from(sd, str(nm["encoder"]), nm),
+        att_lstm=lstm_from(sd, str(nm["att_lstm"]), nm),
+        vis_attention=attention_from(sd, str(nm["vis_attention"]), nm),
+        vis_gate_w=vis_gate_w,
+        vis_gate_b=vis_gate_b,
+        scma=attention_from(sd, str(nm["scma"]), nm),
+        lang_lstm=copy_lstm_from(sd, str(nm["lang_lstm"]), nm),
+        fc_w=fc_w,
+        fc_b=fc_b,
     )
-    sd.assert_exhausted()
+    sd.assert_exhausted(tuple(nm["__ignore_prefixes__"]))
     return _device_tree(params)
 
 
-def convert_torch_checkpoint(path: str, arch: str, out_path: str) -> str:
-    """Load a torch .pth/.pth.tar checkpoint and write a params .npz.
+def load_torch_state_dict(path: str) -> Mapping[str, object]:
+    """Load a torch .pth/.pth.tar checkpoint and return its state dict.
 
-    Accepts either a bare state_dict or the reference's training dict
-    {epoch, model/state_dict, optimizer, ...} (SURVEY.md §3.3
-    'Checkpointing')."""
+    Accepts either a bare state_dict, a whole saved nn.Module, or the
+    reference's training dict {epoch, model/state_dict/decoder, optimizer,
+    ...} (SURVEY.md §3.3 'Checkpointing')."""
     import torch
-
-    from captionkit.train.checkpoint import save_params_npz
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(blob, "state_dict"):  # whole nn.Module saved
@@ -174,11 +273,31 @@ def convert_torch_checkpoint(path: str, arch: str, out_path: str) -> str:
             )
     else:
         raw = blob
+    return raw
+
+
+def params_from_state_dict(
+    raw: Mapping[str, object],
+    arch: str,
+    name_map: Optional[Mapping[str, object]] = None,
+):
     if arch == "dcnet":
-        params = dcnet_params_from_state_dict(raw)
-    elif arch == "editnet":
-        params = editnet_params_from_state_dict(raw)
-    else:
-        raise ValueError(f"unknown arch {arch!r}")
+        return dcnet_params_from_state_dict(raw, name_map)
+    if arch == "editnet":
+        return editnet_params_from_state_dict(raw, name_map)
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def convert_torch_checkpoint(
+    path: str,
+    arch: str,
+    out_path: str,
+    name_map: Optional[Mapping[str, object]] = None,
+) -> str:
+    """torch checkpoint file -> params .npz file (one-step conversion)."""
+    from captionkit.train.checkpoint import save_params_npz
+
+    raw = load_torch_state_dict(path)
+    params = params_from_state_dict(raw, arch, name_map)
     save_params_npz(params, out_path)
     return out_path

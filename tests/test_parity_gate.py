@@ -1,0 +1,190 @@
+"""One-command parity gate + name-map indirection (VERDICT r1 #5).
+
+The gate is the script that runs the day real released checkpoints
+appear: convert -> greedy-identical-vs-twin -> beam CIDEr tolerance.
+Here it is rehearsed end-to-end against a torch-twin checkpoint, and the
+name-map table is proven to fit an alternate checkpoint layout as a pure
+data edit (renamed modules + a global key prefix), no code change.
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from captionkit.convert.torch_import import (
+    editnet_params_from_state_dict,
+    resolve_name_map,
+)
+from captionkit.convert.torch_ref import TorchEditNet
+
+E, H, A, F, R = 12, 16, 8, 10, 4
+
+
+@pytest.fixture(scope="module")
+def synth():
+    from captionkit.data.sources import SyntheticCaptionSource
+
+    return SyntheticCaptionSource(
+        num_images=6, captions_per_image=2, num_regions=R, feat_dim=F,
+        max_len=12, seed=3,
+    )
+
+
+@pytest.fixture(scope="module")
+def twin(synth):
+    torch.manual_seed(0)
+    return TorchEditNet(len(synth.vocab), E, H, A, F).eval()
+
+
+def _rename(sd, mapping, prefix=""):
+    out = {}
+    for k, v in sd.items():
+        for old, new in mapping.items():
+            if k.startswith(old + "."):
+                k = new + k[len(old):]
+                break
+        out[prefix + k] = v
+    return out
+
+
+def test_alternate_name_map_is_a_data_edit(twin):
+    sd = twin.state_dict()
+    want = editnet_params_from_state_dict(sd)
+    # A "real checkpoint" layout: everything under 'decoder.', f_beta
+    # renamed, scma renamed, lang_lstm leaf names changed.
+    alt = _rename(
+        sd,
+        {"f_beta": "beta_gate", "scma": "select_att",
+         "lang_lstm": "copy_lstm"},
+        prefix="decoder.",
+    )
+    override = {
+        "__strip_prefix__": "decoder.",
+        "vis_gate": "beta_gate",
+        "scma": "select_att",
+        "lang_lstm": "copy_lstm",
+    }
+    got = editnet_params_from_state_dict(alt, override)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_name_map_rejects_unknown_entries():
+    with pytest.raises(KeyError, match="unknown entries"):
+        resolve_name_map("editnet", {"not_a_component": "x"})
+
+
+def test_default_map_fails_loudly_on_alternate_layout(twin):
+    alt = _rename(twin.state_dict(), {}, prefix="decoder.")
+    with pytest.raises(KeyError, match="missing"):
+        editnet_params_from_state_dict(alt)
+
+
+def _gate_cfg(vocab_size):
+    import dataclasses
+
+    from captionkit.utils.config import get_named_config
+
+    cfg = get_named_config("editnet_beam5")
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, vocab_size=vocab_size, emb_dim=E, hidden_dim=H,
+            att_dim=A, feat_dim=F, num_regions=R, dropout=0.0,
+            compute_dtype="float32",
+        ),
+        decode=dataclasses.replace(cfg.decode, max_decode_len=12,
+                                   batch_size=8),
+    )
+
+
+def test_parity_gate_end_to_end(tmp_path, synth, twin):
+    from captionkit.convert.gate import run_parity_gate
+
+    ckpt = tmp_path / "BEST_checkpoint.pth.tar"
+    torch.save({"state_dict": twin.state_dict()}, ckpt)
+    cfg = _gate_cfg(len(synth.vocab))
+    report = run_parity_gate(
+        str(ckpt), cfg, synth.dataset,
+        out_params_path=str(tmp_path / "params.npz"),
+    )
+    assert report["checks"]["convert"]["status"] == "pass"
+    assert report["checks"]["greedy_identical"]["status"] == "pass", report
+    assert report["checks"]["greedy_identical"]["images"] == 6
+    assert report["checks"]["beam_cider"]["status"] == "pass"
+    assert np.isfinite(report["checks"]["beam_cider"]["cider"])
+    assert report["ok"] is True
+    assert (tmp_path / "params.npz").exists()
+
+
+def test_parity_gate_expected_cider_tolerance(tmp_path, synth, twin):
+    from captionkit.convert.gate import run_parity_gate
+
+    ckpt = tmp_path / "ckpt.pth"
+    torch.save(twin.state_dict(), ckpt)
+    cfg = _gate_cfg(len(synth.vocab))
+    base = run_parity_gate(str(ckpt), cfg, synth.dataset)
+    cider = base["checks"]["beam_cider"]["cider"]
+    ok = run_parity_gate(str(ckpt), cfg, synth.dataset,
+                         expected_cider=cider + 0.1, cider_tol=0.2)
+    assert ok["ok"] is True
+    bad = run_parity_gate(str(ckpt), cfg, synth.dataset,
+                          expected_cider=cider + 5.0, cider_tol=0.2)
+    assert bad["checks"]["beam_cider"]["status"] == "fail"
+    assert bad["ok"] is False
+
+
+def test_parity_gate_alternate_layout_skips_greedy(tmp_path, synth, twin):
+    """A fitted real-checkpoint layout converts via --name-map; the twin
+    can't load it, so greedy-identical reports skipped, not fail."""
+    from captionkit.convert.gate import run_parity_gate
+
+    alt = _rename(twin.state_dict(), {"f_beta": "beta_gate"},
+                  prefix="decoder.")
+    ckpt = tmp_path / "alt.pth"
+    torch.save(alt, ckpt)
+    cfg = _gate_cfg(len(synth.vocab))
+    report = run_parity_gate(
+        str(ckpt), cfg, synth.dataset,
+        name_map={"__strip_prefix__": "decoder.", "vis_gate": "beta_gate"},
+    )
+    assert report["checks"]["convert"]["status"] == "pass"
+    assert report["checks"]["greedy_identical"]["status"] == "skipped"
+    assert report["ok"] is True
+
+
+def test_parity_gate_cli(tmp_path, capsys):
+    """The CLI gate must run the greedy-identical check for real, so the
+    twin checkpoint is sized for the dataset the CLI itself will build
+    (--synthetic --images 6 --seed 0)."""
+    from captionkit.cli import main
+    from captionkit.data.sources import SyntheticCaptionSource
+
+    cli_src = SyntheticCaptionSource(
+        num_images=6, captions_per_image=5, num_regions=R, feat_dim=F,
+        max_len=12, seed=0,
+    )
+    torch.manual_seed(0)
+    cli_twin = TorchEditNet(len(cli_src.vocab), E, H, A, F).eval()
+    ckpt = tmp_path / "ckpt.pth"
+    torch.save(cli_twin.state_dict(), ckpt)
+    nm = tmp_path / "names.json"
+    nm.write_text(json.dumps({}))
+    rc = main([
+        "parity-gate", "--config", "editnet_beam5", "--synthetic",
+        "--images", "6", "--seed", "0", "--ckpt", str(ckpt),
+        "--name-map", str(nm), "--max-images", "4",
+        "--set", f"model.emb_dim={E}", "--set", f"model.hidden_dim={H}",
+        "--set", f"model.att_dim={A}", "--set", f"model.feat_dim={F}",
+        "--set", f"model.num_regions={R}", "--set", "model.dropout=0.0",
+        "--set", "model.compute_dtype=float32",
+        "--set", "decode.max_decode_len=12", "--set", "decode.batch_size=8",
+        "--set", "data.max_len=12",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["checks"]["greedy_identical"]["status"] == "pass", report
+    assert report["checks"]["beam_cider"]["status"] == "pass"
