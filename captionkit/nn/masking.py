@@ -41,8 +41,14 @@ def top5_accuracy(
     logits: jax.Array, targets: jax.Array, mask: jax.Array
 ) -> jax.Array:
     """Reference training loops report top-5 word accuracy
-    (SURVEY.md §6 metrics row)."""
-    top5 = jax.lax.top_k(logits, 5)[1]  # [B, T, 5]
-    hit = jnp.any(top5 == targets[..., None], axis=-1)
+    (SURVEY.md §6 metrics row).
+
+    Computed as a rank check — the target is top-5 iff fewer than 5 logits
+    strictly exceed it — which is one compare+reduce over V instead of a
+    top_k sort of [B, T, V] (the sort cost ~40% of the whole train step at
+    paper scale; docs/DESIGN.md round 2)."""
+    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)
+    rank = jnp.sum((logits > tgt).astype(jnp.int32), axis=-1)  # [B, T]
+    hit = rank < 5
     mask = mask.astype(jnp.float32)
     return jnp.sum(hit * mask) / jnp.maximum(jnp.sum(mask), 1.0)

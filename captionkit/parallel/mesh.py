@@ -56,13 +56,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch_arrays(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
-    """Place every array leaf batch-sharded on the mesh (leading axis).
+def stacked_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for k-step stacked batches [k, B, ...]: the scan (leading)
+    dim replicated, the batch dim sharded."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def shard_batch_arrays(
+    mesh: Mesh, tree: Any, axis: str = "data", *, stacked: bool = False
+) -> Any:
+    """Place every array leaf batch-sharded on the mesh (leading axis; with
+    ``stacked``, the second axis — the leading one is the scan dim).
 
     Host NumPy arrays go straight to per-device shards — the TPU-feed path
     for the input pipeline (one H2D copy per shard, no full-array staging).
     """
-    sh = batch_sharding(mesh, axis)
+    sh = stacked_batch_sharding(mesh, axis) if stacked \
+        else batch_sharding(mesh, axis)
     return jax.tree.map(
         lambda x: jax.device_put(x, sh) if x is not None else None,
         tree,

@@ -17,7 +17,6 @@ from typing import Any, Optional
 import jax
 import numpy as np
 
-from captionkit.data.prefetch import prefetch_to_device
 from captionkit.data.sources import CaptionDataset
 from captionkit.decode.driver import evaluate_split
 from captionkit.metrics.cider import NgramDocFreq
@@ -31,7 +30,11 @@ from captionkit.train.scst import (
     scst_train_step,
 )
 from captionkit.train.state import TrainState
-from captionkit.train.xe import batch_to_device_dict, make_xe_train_step
+from captionkit.train.xe import (
+    batch_to_device_dict,
+    make_xe_train_multistep,
+    make_xe_train_step,
+)
 from captionkit.utils.config import CaptionKitConfig
 from captionkit.utils.logging import MetricsLogger
 
@@ -102,6 +105,86 @@ def _validate(model, state, val_dataset, cfg, decode_fn=None) -> float:
     return metrics.get("CIDEr", 0.0)
 
 
+def _pack_host_batches(host_batches, k: int, budget=None):
+    """Group consecutive same-shape host batches into k-stacks for the
+    multi-step program; odd ones out (bucketing shape changes, epoch
+    tails, max_steps budget tails) pass through as singles.
+
+    Yields ("multi", stacked_dict) with leaves [k, B, ...] or
+    ("single", dict). Never emits more than `budget` total steps.
+    """
+    emitted = 0
+
+    def _left():
+        return float("inf") if budget is None else budget - emitted
+
+    def _sig(hb):
+        return tuple(sorted((key, np.shape(v)) for key, v in hb.items()))
+
+    buf: list = []
+    sig = None
+    it = iter(host_batches)
+    while True:
+        hb = next(it, None)
+        flush = hb is None or (buf and _sig(hb) != sig)
+        if flush:
+            for b in buf:
+                if _left() <= 0:
+                    return
+                emitted += 1
+                yield ("single", b)
+            buf = []
+        if hb is None:
+            return
+        if _left() <= 0:
+            return
+        buf.append(hb)
+        sig = _sig(hb)
+        if len(buf) == k:
+            if _left() >= k:
+                emitted += k
+                yield (
+                    "multi",
+                    {key: np.stack([b[key] for b in buf])
+                     for key in buf[0]},
+                )
+            else:
+                for b in buf:
+                    if _left() <= 0:
+                        return
+                    emitted += 1
+                    yield ("single", b)
+            buf = []
+
+
+def _prefetch_packs(packs, mesh, size: int = 2):
+    """Tagged-pack variant of prefetch_to_device: keeps `size` packs
+    resident on device (multi packs use the stacked [k, B] sharding)."""
+    import collections
+
+    def _put(item):
+        kind, hb = item
+        if mesh is not None:
+            return kind, shard_batch_arrays(mesh, hb,
+                                            stacked=(kind == "multi"))
+        return kind, jax.tree.map(jax.device_put, hb)
+
+    queue: collections.deque = collections.deque()
+    it = iter(packs)
+    for _ in range(size):
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            break
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def run_xe_training(
     model: ModelDef,
     state: TrainState,
@@ -128,6 +211,16 @@ def run_xe_training(
     epochs_since_best = 0
     step_fn = make_xe_train_step(
         model, tcfg, mesh, label_smoothing=tcfg.label_smoothing
+    )
+    # k>1: scan k steps per dispatch (same math, one launch per k steps —
+    # see make_xe_train_multistep). The single-step program still runs
+    # epoch/bucket/budget tails.
+    k = max(1, int(tcfg.steps_per_dispatch))
+    multi_fn = (
+        make_xe_train_multistep(
+            model, tcfg, mesh, label_smoothing=tcfg.label_smoothing
+        )
+        if k > 1 else None
     )
     val_decode_fn = (
         _make_val_decode_fn(model, val_dataset, cfg, mesh)
@@ -158,29 +251,48 @@ def run_xe_training(
         meter_tok = AverageMeter()
 
         def _drain():
+            # Multi-step dispatches carry [k]-shaped metric leaves; single
+            # steps carry scalars — np.atleast_1d treats both uniformly.
             for m in jax.device_get(pending_metrics):
-                meter_loss.update(float(m["loss"]))
-                meter_acc.update(float(m["top5_acc"]))
-                meter_tok.update(float(m["tokens"]))
+                for lo, ac, tk in zip(np.atleast_1d(m["loss"]),
+                                      np.atleast_1d(m["top5_acc"]),
+                                      np.atleast_1d(m["tokens"])):
+                    meter_loss.update(float(lo))
+                    meter_acc.update(float(ac))
+                    meter_tok.update(float(tk))
             pending_metrics.clear()
 
         window_steps = 0
-        for dev_batch in prefetch_to_device(host_batches, mesh=mesh):
-            state, metrics = step_fn(state, dev_batch)
-            steps_done += 1
+        steps_since_log = 0
+        first_dispatch = True
+        budget = None if max_steps is None else max_steps - steps_done
+        packs = _pack_host_batches(host_batches, k, budget) if k > 1 \
+            else (("single", hb) for hb in host_batches)
+        for kind, dev_batch in _prefetch_packs(packs, mesh):
+            if kind == "multi":
+                state, metrics = multi_fn(state, dev_batch)
+                n = k
+            else:
+                state, metrics = step_fn(state, dev_batch)
+                n = 1
+            steps_done += n
             pending_metrics.append(
                 {"loss": metrics["loss"], "top5_acc": metrics["top5_acc"],
                  "tokens": metrics["tokens"]}
             )
-            window_steps += 1
-            # First step carries trace+compile; drain (device_get blocks
-            # until the device finishes) and restart the clock so it stays
-            # out of the steady-state rate.
-            if steps_done == 1:
+            window_steps += n
+            steps_since_log += n
+            # First dispatch carries trace+compile; drain (device_get
+            # blocks until the device finishes) and restart the clock so
+            # it stays out of the steady-state rate.
+            if first_dispatch:
+                first_dispatch = False
                 _drain()
                 t0 = time.perf_counter()
                 window_steps = 0
-            if steps_done % tcfg.log_every == 0:
+                steps_since_log = 0
+            if steps_since_log >= tcfg.log_every:
+                steps_since_log = 0
                 _drain()
                 # _drain synchronized on the device, so the elapsed window
                 # reflects device step latency, not async dispatch time

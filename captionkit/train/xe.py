@@ -56,17 +56,9 @@ def xe_loss(
                   "tokens": jnp.sum(mask.astype(jnp.int32))}
 
 
-def make_xe_train_step(
-    model: ModelDef,
-    cfg: TrainConfig,
-    mesh: Optional[Mesh] = None,
-    *,
-    label_smoothing: float = 0.0,
-):
-    """Build the jitted DP train step: (TrainState, batch pytree) -> (state,
-    metrics). batch is a dict with keys features/existing/existing_len/
-    target/target_len/valid, leading dim = global batch."""
-    tx = make_optimizer(cfg)
+def _xe_step_body(model: ModelDef, tx, label_smoothing: float):
+    """The raw (unjitted) train-step body shared by the single-step and
+    multi-step programs: (TrainState, batch) -> (TrainState, metrics)."""
 
     def step_fn(state: TrainState, batch: dict[str, jax.Array]):
         rng = state.next_rng()
@@ -92,6 +84,21 @@ def make_xe_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    return step_fn
+
+
+def make_xe_train_step(
+    model: ModelDef,
+    cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    *,
+    label_smoothing: float = 0.0,
+):
+    """Build the jitted DP train step: (TrainState, batch pytree) -> (state,
+    metrics). batch is a dict with keys features/existing/existing_len/
+    target/target_len/valid, leading dim = global batch."""
+    step_fn = _xe_step_body(model, make_optimizer(cfg), label_smoothing)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if cfg.donate_state else ())
 
@@ -102,6 +109,43 @@ def make_xe_train_step(
         in_shardings=(repl, bsh),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if cfg.donate_state else (),
+    )
+
+
+def make_xe_train_multistep(
+    model: ModelDef,
+    cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    *,
+    label_smoothing: float = 0.0,
+):
+    """k train steps in ONE compiled program: lax.scan of the step body
+    over stacked batches (leaves [k, B, ...]).
+
+    Dispatch/launch overhead is paid once per k steps instead of per step
+    — on this host's remote-dispatch runtime that is the difference
+    between 404 and ~4,000 captions/sec at B=256 (docs/DESIGN.md round-2
+    measurements); on any runtime it lets XLA pipeline step boundaries.
+    The math is bit-identical to k sequential single steps: the scanned
+    body is the same function, and per-step dropout keys come from
+    fold_in(rng, step) with step advancing inside the scan."""
+    step_fn = _xe_step_body(model, make_optimizer(cfg), label_smoothing)
+
+    def multi_fn(state: TrainState, batches: dict[str, jax.Array]):
+        return jax.lax.scan(step_fn, state, batches)
+
+    donate = (0,) if cfg.donate_state else ()
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=donate)
+
+    from captionkit.parallel.mesh import stacked_batch_sharding
+
+    repl = replicated(mesh)
+    return jax.jit(
+        multi_fn,
+        in_shardings=(repl, stacked_batch_sharding(mesh)),
+        out_shardings=(repl, repl),
+        donate_argnums=donate,
     )
 
 

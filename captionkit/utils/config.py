@@ -90,6 +90,9 @@ class TrainConfig:
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all local devices
     mesh_axis_names: tuple[str, ...] = ("data",)
     donate_state: bool = True
+    # XE steps scanned into one dispatch (same math; amortizes launch
+    # overhead — see train.xe.make_xe_train_multistep). 1 = step-per-call.
+    steps_per_dispatch: int = 8
     seed: int = 42
 
 

