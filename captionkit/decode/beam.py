@@ -116,26 +116,57 @@ def beam_search(
         return jnp.logical_and(s.t < max_len, jnp.logical_not(jnp.all(s.done)))
 
     def body(s: _BeamState) -> _BeamState:
-        new_state, logits = model.step(
-            params, ctx_k, s.model_state, s.tok, None, False
-        )
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        V = logp.shape[-1]
-        logp = logp.reshape(B, K, V)
+        if model.step_topk is not None:
+            # Fused head (captionkit.ops.head): the kernel returns each
+            # row's top-K logits + log-sum-exp, so the [B*K, V] logits,
+            # the log_softmax passes, the +scores broadcast, and the
+            # K*V-wide sort never exist. Per-row top-K is exact for the
+            # global top-K: every global winner is in its own row's top-K.
+            new_state, vals, idx, lse = model.step_topk(
+                params, ctx_k, s.model_state, s.tok, K
+            )
+            logp_top = (vals - lse[:, None]).reshape(B, K, K)
+            idx_top = idx.reshape(B, K, K)
+            # Finished beams: single <pad> candidate at zero cost.
+            done3 = s.done[:, :, None]
+            slot0 = jnp.arange(K)[None, None, :] == 0
+            cand_logp = jnp.where(
+                done3, jnp.where(slot0, 0.0, NEG_INF), logp_top
+            )
+            cand_tok = jnp.where(done3, pad_id, idx_top)
+            total = s.scores[:, :, None] + cand_logp  # [B, K, K]
+            top_scores, flat = jax.lax.top_k(total.reshape(B, K * K), K)
+            parent = flat // K  # [B, K]
+            new_tok = jnp.take_along_axis(
+                cand_tok.reshape(B, K * K), flat, axis=1
+            ).astype(jnp.int32)
+        else:
+            new_state, logits = model.step(
+                params, ctx_k, s.model_state, s.tok, None, False
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            V = logp.shape[-1]
+            logp = logp.reshape(B, K, V)
 
-        # Finished beams: only continuation is <pad> at zero cost, so their
-        # cumulative score is frozen and they stay in the candidate pool.
-        pad_row = jnp.full((V,), NEG_INF, jnp.float32).at[pad_id].set(0.0)
-        logp = jnp.where(s.done[:, :, None], pad_row[None, None, :], logp)
+            # Finished beams: only continuation is <pad> at zero cost, so
+            # their cumulative score is frozen and they stay in the
+            # candidate pool.
+            pad_row = jnp.full(
+                (V,), NEG_INF, jnp.float32
+            ).at[pad_id].set(0.0)
+            logp = jnp.where(s.done[:, :, None], pad_row[None, None, :],
+                             logp)
 
-        total = s.scores[:, :, None] + logp  # [B, K, V]
-        # Single-stage top-k over the flattened K*V candidates. (An exact
-        # two-stage variant — per-beam top-K then a [B, K*K] reduction —
-        # was measured 5x SLOWER on v5e: lax.top_k over the 3-D operand
-        # lowers far worse than one wide 2-D reduction.)
-        top_scores, top_idx = jax.lax.top_k(total.reshape(B, K * V), K)
-        parent = top_idx // V  # [B, K]
-        new_tok = (top_idx % V).astype(jnp.int32)  # [B, K]
+            total = s.scores[:, :, None] + logp  # [B, K, V]
+            # Single-stage top-k over the flattened K*V candidates. (An
+            # exact two-stage variant — per-beam top-K via lax.top_k then
+            # a [B, K*K] reduction — was measured 5x SLOWER on v5e: the
+            # 3-D lax.top_k lowers far worse than one wide 2-D reduction.
+            # The fused-head branch above gets the per-row top-K from the
+            # Pallas kernel instead, where it is nearly free.)
+            top_scores, top_idx = jax.lax.top_k(total.reshape(B, K * V), K)
+            parent = top_idx // V  # [B, K]
+            new_tok = (top_idx % V).astype(jnp.int32)  # [B, K]
 
         # Reorder everything by parent beam.
         def gather_bk(x):  # [B, K, ...] -> select parents

@@ -45,6 +45,13 @@ class ModelDef:
     # grouped [B*K] queries (captionkit.nn.attention). None => beam search
     # falls back to repeating every leaf.
     beam_expand: Optional[Callable[[Any, int], Any]] = None
+    # Optional fused decode head: (params, ctx, state, token, k) ->
+    # (new_state, top_vals [B,k] fp32 raw logits, top_idx [B,k] int32,
+    # lse [B] fp32). When present, beam search never materializes the
+    # [B, V] logits — the vocab head + log-softmax + per-row top-k run in
+    # one Pallas kernel (captionkit.ops.head; round-2 profiling found the
+    # XLA vocab tail was 42% of beam-step device time).
+    step_topk: Optional[Callable[..., Any]] = None
 
 
 def teacher_forcing_logits(

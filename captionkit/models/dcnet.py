@@ -155,7 +155,7 @@ def beam_expand(ctx: DCNetContext, k: int) -> DCNetContext:
     )
 
 
-def step(
+def _step_hidden(
     params: DCNetParams,
     cfg: ModelConfig,
     ctx: DCNetContext,
@@ -164,7 +164,8 @@ def step(
     rng: Optional[jax.Array] = None,
     train: bool = False,
 ) -> tuple[DCNetState, jax.Array]:
-    """One decode step (SURVEY.md §4.1 inner loop, device-resident)."""
+    """One decode step up to the vocab head (SURVEY.md §4.1 inner loop,
+    device-resident)."""
     dt = _cdt(cfg)
     lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
     attention = get_attention_fn(cfg.use_pallas)
@@ -185,12 +186,47 @@ def step(
     x = jnp.concatenate(parts, axis=-1)
     h, c = lstm_cell(params.decoder, x, state.h, state.c, compute_dtype=dt)
     out = dropout(h, cfg.dropout, rng, train)
+    return DCNetState(h=h, c=c), out
+
+
+def step(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    ctx: DCNetContext,
+    state: DCNetState,
+    token: jax.Array,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> tuple[DCNetState, jax.Array]:
+    new_state, out = _step_hidden(params, cfg, ctx, state, token, rng, train)
+    dt = _cdt(cfg)
     logits = (
         jnp.dot(out.astype(dt), params.fc_w.astype(dt),
                 preferred_element_type=jnp.float32)
         + params.fc_b
     ).astype(jnp.float32)
-    return DCNetState(h=h, c=c), logits
+    return new_state, logits
+
+
+def step_topk(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    ctx: DCNetContext,
+    state: DCNetState,
+    token: jax.Array,
+    k: int,
+) -> tuple[DCNetState, jax.Array, jax.Array, jax.Array]:
+    """Decode step with the fused vocab head (captionkit.ops.head)."""
+    from captionkit.ops import pallas_supported
+    from captionkit.ops.head import fused_head_topk
+
+    new_state, out = _step_hidden(params, cfg, ctx, state, token, None,
+                                  False)
+    vals, idx, lse = fused_head_topk(
+        out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
+        interpret=not pallas_supported(),
+    )
+    return new_state, vals, idx, lse
 
 
 def make_model(cfg: ModelConfig) -> ModelDef:
@@ -205,4 +241,10 @@ def make_model(cfg: ModelConfig) -> ModelDef:
             params, cfg, ctx, state, token, rng, train
         ),
         beam_expand=None if cfg.use_pallas else beam_expand,
+        step_topk=(
+            (lambda params, ctx, state, token, k: step_topk(
+                params, cfg, ctx, state, token, k
+            ))
+            if cfg.use_fused_head else None
+        ),
     )

@@ -156,7 +156,7 @@ def beam_expand(ctx: EditNetContext, k: int) -> EditNetContext:
     return ctx.replace(v_mean=jnp.repeat(ctx.v_mean, k, axis=0))
 
 
-def step(
+def _step_hidden(
     params: EditNetParams,
     cfg: ModelConfig,
     ctx: EditNetContext,
@@ -165,7 +165,9 @@ def step(
     rng: Optional[jax.Array] = None,
     train: bool = False,
 ) -> tuple[EditNetState, jax.Array]:
-    """One EditNet decode step — SURVEY.md §4.2's hot loop, one fused trace."""
+    """One EditNet decode step up to (but not including) the vocab head —
+    SURVEY.md §4.2's hot loop, one fused trace. Returns the (possibly
+    dropped-out) language hidden state the head consumes."""
     dt = _cdt(cfg)
     lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
     copy_lstm_cell = get_copy_lstm_cell_fn(cfg.use_pallas)
@@ -200,6 +202,23 @@ def step(
     )
 
     out = dropout(h_lang, cfg.dropout, rng, train)
+    return (
+        EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang, c_lang=c_lang),
+        out,
+    )
+
+
+def step(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    ctx: EditNetContext,
+    state: EditNetState,
+    token: jax.Array,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> tuple[EditNetState, jax.Array]:
+    new_state, out = _step_hidden(params, cfg, ctx, state, token, rng, train)
+    dt = _cdt(cfg)
     # Vocab head on the MXU in compute dtype (the single largest matmul of
     # the step: [B, H] x [H, ~9.5k]); logits accumulate in fp32.
     logits = (
@@ -207,10 +226,29 @@ def step(
                 preferred_element_type=jnp.float32)
         + params.fc_b
     ).astype(jnp.float32)
-    return (
-        EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang, c_lang=c_lang),
-        logits,
+    return new_state, logits
+
+
+def step_topk(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    ctx: EditNetContext,
+    state: EditNetState,
+    token: jax.Array,
+    k: int,
+) -> tuple[EditNetState, jax.Array, jax.Array, jax.Array]:
+    """Decode step with the fused head: returns (state, top-k logit values,
+    their vocab ids, log-sum-exp) without materializing [B, V] logits."""
+    from captionkit.ops import pallas_supported
+    from captionkit.ops.head import fused_head_topk
+
+    new_state, out = _step_hidden(params, cfg, ctx, state, token, None,
+                                  False)
+    vals, idx, lse = fused_head_topk(
+        out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
+        interpret=not pallas_supported(),
     )
+    return new_state, vals, idx, lse
 
 
 def make_model(cfg: ModelConfig) -> ModelDef:
@@ -228,4 +266,10 @@ def make_model(cfg: ModelConfig) -> ModelDef:
         # Pallas attention expects matching batch dims, so Pallas configs
         # fall back to full ctx replication.
         beam_expand=None if cfg.use_pallas else beam_expand,
+        step_topk=(
+            (lambda params, ctx, state, token, k: step_topk(
+                params, cfg, ctx, state, token, k
+            ))
+            if cfg.use_fused_head else None
+        ),
     )

@@ -1,0 +1,237 @@
+"""Fused vocab-head Pallas kernel: matmul + online log-sum-exp + per-row
+top-k, without ever materializing the [N, V] logits in HBM.
+
+Why this kernel exists (round-2 profiling, docs/DESIGN.md): in the beam
+decode step the vocab tail — fc matmul -> log_softmax -> +scores broadcast
+-> layout copies -> lax.top_k over [B, K*V] — was 42% of device time,
+dominated by a 19.6ms top_k sort and ~300MB/step of logits round-trips.
+The reference runs this tail as separate cuDNN/cuBLAS + thrust sort calls
+(SURVEY.md §4.3 ⟦cite: mount empty⟧).
+
+The fusion computes, per [TN, TV] logits tile resident in VMEM:
+
+    logits = h @ W[:, tile] + b[tile]            (MXU, fp32 accum)
+    m, s  <- online max / exp-sum (flash-style)  (VPU)
+    top-k <- k max/argmin-index passes merged into a running top-k
+
+and writes only [N, k] values+indices and the [N] log-sum-exp. Exact
+top-k semantics match lax.top_k (ties -> lowest index) because per-tile
+argmax resolves ties to the lowest index and earlier tiles win merges.
+
+Beam search consumes this as: per-row top-K of (logit - lse) is exact for
+the global top-K over K*V candidates, since every global winner must be
+in its own row's top-K.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET = 10 * 1024 * 1024
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_axis(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
+    pad = target - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
+    """(TN, TV): double-buffered h/w/b blocks + fp32 logits tile + running
+    top-k/lse scratch must fit the VMEM budget. Candidates are ordered by
+    measured throughput at paper scale (docs/DESIGN.md round-2 sweep:
+    512x1024 = 1.29ms/step, 1024x1024 = 1.38, 512x512 = 1.47,
+    1024x128 [the old budget-first pick] = 1.51)."""
+    for tn, tv in ((512, 1024), (1024, 1024), (512, 512), (256, 512),
+                   (256, 256), (128, 256), (128, 128), (64, 128),
+                   (32, 128), (16, 128), (8, 128)):
+        h_blk = tn * H * itemsize
+        w_blk = H * tv * itemsize
+        b_blk = tv * 4
+        logits = tn * tv * 4
+        scratch = tn * (2 * _round_up(k, 128) + 2 * 128) * 4
+        outs = tn * (2 * _round_up(k, 128) + 128) * 4
+        total = 2 * (h_blk + w_blk + b_blk + outs) + logits + scratch
+        if total <= VMEM_BUDGET:
+            return min(tn, _round_up(N, 8)), min(tv, _round_up(V, 128))
+    return 8, 128
+
+
+def _rowmax_argmax(x, base_iota):
+    """(max, lowest-index argmax) along axis 1 — explicit lowest-index
+    tie-break (matches lax.top_k), avoids relying on argmax lowering."""
+    m = jnp.max(x, axis=1)
+    big = jnp.int32(2**30)
+    idx = jnp.where(x == m[:, None], base_iota, big)
+    return m, jnp.min(idx, axis=1)
+
+
+def _make_head_kernel(k: int, TV: int):
+    def kernel(h_ref, w_ref, b_ref, vals_out, idx_out, lse_out,
+               run_vals, run_idx, run_m, run_s):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            run_vals[...] = jnp.full_like(run_vals, _NEG)
+            run_idx[...] = jnp.zeros_like(run_idx)
+            run_m[...] = jnp.full_like(run_m, _NEG)
+            run_s[...] = jnp.zeros_like(run_s)
+
+        logits = (
+            jnp.dot(h_ref[...], w_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_ref[...]
+        )  # [TN, TV] fp32
+
+        # -- online log-sum-exp (flash-softmax update) -----------------------
+        tm = jnp.max(logits, axis=1, keepdims=True)  # [TN, 1]
+        m_old = run_m[...][:, :1]
+        m_new = jnp.maximum(m_old, tm)
+        s_old = run_s[...][:, :1]
+        s_new = s_old * jnp.exp(m_old - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=1, keepdims=True
+        )
+        run_m[...] = jnp.broadcast_to(m_new, run_m.shape)
+        run_s[...] = jnp.broadcast_to(s_new, run_s.shape)
+
+        # -- tile top-k (k max/lowest-index passes) --------------------------
+        tn = logits.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tn, TV), 1)
+        tile = logits
+        t_vals, t_idx = [], []
+        for _ in range(k):
+            m, am = _rowmax_argmax(tile, col)
+            t_vals.append(m)
+            t_idx.append(am + j * TV)
+            tile = jnp.where(col == am[:, None], _NEG, tile)
+
+        # -- merge running top-k with tile top-k -----------------------------
+        # Order matters for ties: running entries (earlier tiles / lower
+        # vocab ids) come first so lowest-index wins.
+        cand_vals = jnp.concatenate(
+            [run_vals[...][:, :k]] + [v[:, None] for v in t_vals], axis=1
+        )  # [TN, 2k]
+        cand_idx = jnp.concatenate(
+            [run_idx[...][:, :k]] + [i[:, None] for i in t_idx], axis=1
+        )
+        pos = jax.lax.broadcasted_iota(jnp.int32, cand_vals.shape, 1)
+        new_vals, new_idx = [], []
+        for _ in range(k):
+            m, am = _rowmax_argmax(cand_vals, pos)
+            sel = pos == am[:, None]
+            new_vals.append(m)
+            new_idx.append(jnp.sum(jnp.where(sel, cand_idx, 0), axis=1))
+            cand_vals = jnp.where(sel, _NEG, cand_vals)
+        run_vals[...] = jnp.pad(
+            jnp.stack(new_vals, axis=1),
+            ((0, 0), (0, run_vals.shape[1] - k)),
+            constant_values=_NEG,
+        )
+        run_idx[...] = jnp.pad(
+            jnp.stack(new_idx, axis=1),
+            ((0, 0), (0, run_idx.shape[1] - k)),
+        )
+
+        @pl.when(j == nj - 1)
+        def _():
+            vals_out[...] = run_vals[...][:, : vals_out.shape[1]]
+            idx_out[...] = run_idx[...][:, : idx_out.shape[1]]
+            m = run_m[...][:, :1]
+            s = run_s[...][:, :1]
+            lse_out[...] = jnp.broadcast_to(
+                m + jnp.log(s), lse_out.shape
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "compute_dtype", "interpret", "tiles")
+)
+def fused_head_topk(
+    h: jax.Array,  # [N, H] hidden (pre-head)
+    w: jax.Array,  # [H, V]
+    b: jax.Array,  # [V]
+    *,
+    k: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+    interpret: bool = False,
+    tiles: tuple[int, int] | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (top_vals [N,k] fp32 raw logits, top_idx [N,k] int32,
+    lse [N] fp32) — top-k by logit value == top-k by log-prob, since the
+    log-sum-exp is a per-row constant."""
+    N, H = h.shape
+    V = w.shape[1]
+    dt = compute_dtype
+    TN, TV = tiles or _pick_tiles(N, H, V, k, jnp.dtype(dt).itemsize)
+    TN, TV = min(TN, _round_up(N, 8)), min(TV, _round_up(V, 128))
+    Np, Vp = _round_up(N, TN), _round_up(V, TV)
+
+    h_p = _pad_axis(h.astype(dt), 0, Np)
+    w_p = _pad_axis(w.astype(dt), 1, Vp)
+    # Padded vocab columns score -1e30: never in the top-k, exp() = 0.
+    b_p = _pad_axis(
+        b.astype(jnp.float32), 0, Vp, value=_NEG
+    ).reshape(1, Vp)
+
+    kcols = _round_up(k, 128)
+    grid = (Np // TN, Vp // TV)
+    vals, idx, lse = pl.pallas_call(
+        _make_head_kernel(k, TV),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TN, H), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),  # h
+            pl.BlockSpec((H, TV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # w
+            pl.BlockSpec((1, TV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # b
+        ],
+        out_specs=[
+            pl.BlockSpec((TN, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, k), jnp.float32),
+            jax.ShapeDtypeStruct((Np, k), jnp.int32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TN, kcols), jnp.float32),  # run_vals
+            pltpu.VMEM((TN, kcols), jnp.int32),  # run_idx
+            pltpu.VMEM((TN, 128), jnp.float32),  # run_m
+            pltpu.VMEM((TN, 128), jnp.float32),  # run_s
+        ],
+        interpret=interpret,
+    )(h_p, w_p, b_p)
+    return vals[:N], idx[:N], lse[:N, 0]
+
+
+def reference_head_topk(h, w, b, *, k):
+    """jnp twin for parity tests: full logits -> top_k + logsumexp."""
+    logits = (h.astype(jnp.float32) @ w.astype(jnp.float32) + b).astype(
+        jnp.float32
+    )
+    vals, idx = jax.lax.top_k(logits, k)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    return vals, idx.astype(jnp.int32), lse

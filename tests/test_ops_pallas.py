@@ -104,3 +104,94 @@ def test_dispatch_layer_switches():
     # use_pallas=True falls back to jnp on CPU (pallas_supported() False).
     fn = get_lstm_cell_fn(True)
     assert fn in (lstm_cell, fused_lstm_cell)
+
+
+class TestFusedHeadTopK:
+    """Fused vocab head (ops/head.py): matmul + online LSE + per-row top-k
+    vs the jnp full-logits reference (VERDICT r1 #3 megakernel work)."""
+
+    @pytest.mark.parametrize("N,H,V,k", [
+        (16, 32, 300, 5), (24, 64, 130, 3), (8, 16, 128, 1),
+        (40, 48, 1000, 5),
+    ])
+    def test_parity_interpret(self, N, H, V, k):
+        from captionkit.ops.head import fused_head_topk, reference_head_topk
+
+        rng = np.random.default_rng(N + V)
+        h = jnp.asarray(rng.standard_normal((N, H)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((H, V)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((V,)).astype(np.float32))
+        v1, i1, l1 = fused_head_topk(h, w, b, k=k, interpret=True)
+        v2, i2, l2 = reference_head_topk(h, w, b, k=k)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-5)
+
+    def test_tie_break_lowest_index(self):
+        from captionkit.ops.head import fused_head_topk
+
+        # Identical logits everywhere: top-k must be ids 0..k-1 in order
+        # (lax.top_k semantics).
+        h = jnp.ones((8, 16), jnp.float32)
+        w = jnp.ones((16, 200), jnp.float32)
+        b = jnp.zeros((200,), jnp.float32)
+        _, idx, _ = fused_head_topk(h, w, b, k=4, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.tile(np.arange(4), (8, 1))
+        )
+
+    @pytest.mark.skipif(INTERPRET, reason="needs the real chip")
+    def test_parity_on_chip_paper_scale(self):
+        from captionkit.ops.head import fused_head_topk, reference_head_topk
+
+        rng = np.random.default_rng(7)
+        N, H, V, k = 2560, 1024, 9490, 5
+        h = jnp.asarray(rng.standard_normal((N, H)).astype(np.float32))
+        w = jnp.asarray(
+            (rng.standard_normal((H, V)) * 0.03).astype(np.float32))
+        b = jnp.asarray(
+            (rng.standard_normal((V,)) * 0.01).astype(np.float32))
+        v1, i1, l1 = fused_head_topk(h, w, b, k=k,
+                                     compute_dtype=jnp.bfloat16)
+        v2, i2, l2 = reference_head_topk(
+            h.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b, k=k)
+        assert float(np.mean(np.asarray(i1) == np.asarray(i2))) > 0.999
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-4)
+
+
+def test_beam_search_fused_head_matches_reference_path():
+    """Beam search with the fused head must produce the same captions and
+    scores as the full-logits path (both archs)."""
+    import dataclasses
+
+    from captionkit.decode import beam_search
+    from captionkit.models import get_model
+    from captionkit.utils.config import ModelConfig
+
+    rng = np.random.default_rng(3)
+    for arch in ("editnet", "dcnet"):
+        mcfg = ModelConfig(
+            arch=arch, vocab_size=50, emb_dim=12, hidden_dim=16, att_dim=8,
+            feat_dim=10, num_regions=4, dropout=0.0,
+            compute_dtype="float32", use_fused_head=True,
+        )
+        model_f = get_model(mcfg)
+        model_r = get_model(dataclasses.replace(mcfg, use_fused_head=False))
+        params = model_f.init(jax.random.PRNGKey(0))
+        feats = jnp.asarray(rng.standard_normal((4, 4, 10)).astype(np.float32))
+        ex = jnp.asarray(rng.integers(4, 50, (4, 8)).astype(np.int32))
+        exl = jnp.asarray(rng.integers(3, 9, (4,)).astype(np.int32))
+        ctx = model_f.encode(params, feats, ex, exl)
+        rf = beam_search(model_f, params, ctx, beam_size=5, start_id=2,
+                         end_id=3, max_len=10)
+        rr = beam_search(model_r, params, ctx, beam_size=5, start_id=2,
+                         end_id=3, max_len=10)
+        np.testing.assert_array_equal(np.asarray(rf.tokens),
+                                      np.asarray(rr.tokens))
+        np.testing.assert_allclose(np.asarray(rf.scores),
+                                   np.asarray(rr.scores), atol=1e-5)
