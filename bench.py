@@ -65,6 +65,10 @@ def main() -> int:
                     help="decode through the fused Pallas kernels")
     ap.add_argument("--profile", default="",
                     help="dump a jax.profiler trace of the timed region")
+    ap.add_argument("--streaming", action="store_true",
+                    help="ALSO time the full streaming path "
+                         "(decode_split: H2D feed + pipelined fetch + host "
+                         "detokenize) and print a second JSON line")
     args = ap.parse_args()
     if args.smoke:
         args.images, args.batch = 128, 64
@@ -152,6 +156,44 @@ def main() -> int:
         "unit": "captions/sec/chip",
         "vs_baseline": round(vs, 2),
     }))
+
+    if args.streaming:
+        # Full split through the production path: CaptionDataset batches
+        # (host numpy) -> H2D -> pipelined beam decode -> D2H -> vocab
+        # detokenize (decode_split; VERDICT r1 #9's "what BASELINE's
+        # metric sentence describes").
+        from captionkit.data.sources import SyntheticCaptionSource
+        from captionkit.decode.driver import decode_split, make_decode_fn
+        from captionkit.utils.config import DecodeConfig
+
+        src = SyntheticCaptionSource(
+            num_images=n_caps, captions_per_image=1,
+            num_regions=mcfg.num_regions, feat_dim=mcfg.feat_dim,
+            max_len=args.max_len, seed=1,
+        )
+        ds = src.eval_view()
+        dcfg = DecodeConfig(method="beam", beam_size=args.beam,
+                            max_decode_len=args.max_len, batch_size=B,
+                            feed_dtype="bfloat16")
+        # Same forced-full-decode convention as the headline number
+        # (end_id=-1 unreachable), same start id; the vocab differs
+        # (synthetic grammar) but the decode cost is shape-driven.
+        decode_fn = make_decode_fn(
+            model, dcfg, start_id=min(len(src.vocab) - 1, 2), end_id=-1,
+            pad_id=0,
+        )
+        hyps, stats = decode_split(model, params, ds, dcfg,
+                                   decode_fn=decode_fn)
+        print(json.dumps({
+            "metric": (
+                f"captions/sec streaming (same decode through "
+                f"decode_split: host batches + H2D + pipelined fetch + "
+                f"detokenize, {len(hyps)} images)"
+            ),
+            "value": round(stats["captions_per_sec"], 2),
+            "unit": "captions/sec",
+            "pre_staged_value": round(cps, 2),
+        }))
     return 0
 
 

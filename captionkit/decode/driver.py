@@ -9,6 +9,7 @@ in-process.
 
 from __future__ import annotations
 
+import collections
 import json
 import time
 from typing import Any, Optional
@@ -115,15 +116,16 @@ def decode_split(
     # The first batch compiles the decode program; it is excluded from the
     # throughput clock (captions/sec counts steady-state batches only).
     t_start: Optional[float] = None
-    for batch_idx, batch in enumerate(dataset.batches(decode_cfg.batch_size)):
-        tokens = decode_fn(
-            params,
-            jnp.asarray(batch.features),
-            jnp.asarray(batch.existing),
-            jnp.asarray(batch.existing_len),
-            jnp.asarray(batch_idx, jnp.int32),
-        )
-        tokens = np.asarray(jax.device_get(tokens))
+    # Pipelined split decode: dispatch batch k+1 (async) before fetching
+    # batch k's tokens, so H2D transfer and host detokenization overlap
+    # device compute instead of serializing with it (round 2: the serial
+    # loop left the chip idle for a full host round-trip per batch).
+    pending: collections.deque = collections.deque()
+
+    def _consume() -> None:
+        nonlocal n_decoded, n_timed, t_start
+        tokens_dev, batch = pending.popleft()
+        tokens = np.asarray(jax.device_get(tokens_dev))
         n_valid = int(batch.valid.sum())
         if t_start is None:
             t_start = time.perf_counter()
@@ -134,6 +136,24 @@ def decode_split(
                 continue
             hypotheses[int(img)] = vocab.decode_to_string(row)
             n_decoded += 1
+
+    feed_dt = jnp.dtype(decode_cfg.feed_dtype)
+    for batch_idx, batch in enumerate(dataset.batches(decode_cfg.batch_size)):
+        feats = batch.features
+        if feats is not None and feats.dtype != feed_dt:
+            feats = feats.astype(feed_dt)
+        tokens_dev = decode_fn(
+            params,
+            None if feats is None else jnp.asarray(feats),
+            jnp.asarray(batch.existing),
+            jnp.asarray(batch.existing_len),
+            jnp.asarray(batch_idx, jnp.int32),
+        )
+        pending.append((tokens_dev, batch))
+        if len(pending) > 2:
+            _consume()
+    while pending:
+        _consume()
     elapsed = time.perf_counter() - (t_start or time.perf_counter())
     stats = {
         "captions": float(n_decoded),

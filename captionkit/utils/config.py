@@ -110,6 +110,10 @@ class DecodeConfig:
     batch_size: int = 256  # images per device batch during split decode
     temperature: float = 1.0
     seed: int = 0  # sampling seed (method="sample"); folded per batch
+    # Host->device dtype for region features during split decode. bfloat16
+    # halves the dominant H2D traffic (the model stores/computes context in
+    # bf16 anyway); float32 preserves exact round-1 numerics.
+    feed_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,8 @@ def main() -> int:
     ap.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--scst-steps", type=int, default=60)
+    ap.add_argument("--scst-eval-every", type=int, default=0,
+                    help="evaluate CIDEr every N SCST steps (curve mode)")
     ap.add_argument("--images", type=int, default=96)
     ap.add_argument("--hidden", type=int, default=128)
     args = ap.parse_args()
@@ -86,10 +88,26 @@ def main() -> int:
     beam_xe = evaluate_split(model, state.params, eval_ds, beam_cfg)
     print("CIDEr after XE (beam=5):", round(beam_xe["CIDEr"], 3))
 
-    state, scst_report = run_scst_training(
-        model, state, cfg, src.dataset, None, max_steps=args.scst_steps,
-    )
-    after_scst = evaluate_split(model, state.params, eval_ds, cfg.decode)
+    scst_curve = []
+    if args.scst_eval_every:
+        # VERDICT r1 #8: a CIDEr trajectory across SCST, not just
+        # before/after. Chunked fine-tuning with an eval between chunks.
+        done = 0
+        while done < args.scst_steps:
+            k = min(args.scst_eval_every, args.scst_steps - done)
+            state, _ = run_scst_training(
+                model, state, cfg, src.dataset, None, max_steps=k,
+            )
+            done += k
+            m = evaluate_split(model, state.params, eval_ds, cfg.decode)
+            scst_curve.append({"step": done, "cider": round(m["CIDEr"], 3)})
+            print(f"SCST step {done}: greedy CIDEr {m['CIDEr']:.3f}")
+        after_scst = m
+    else:
+        state, scst_report = run_scst_training(
+            model, state, cfg, src.dataset, None, max_steps=args.scst_steps,
+        )
+        after_scst = evaluate_split(model, state.params, eval_ds, cfg.decode)
     print("CIDEr after SCST:", round(after_scst["CIDEr"], 3))
 
     # Stacked editing: train a DCNet too, chain DCNet -> EditNet
@@ -140,6 +158,7 @@ def main() -> int:
         "cider_stacked_beam5": stacked["CIDEr"],
         "xe_steps": args.steps,
         "scst_steps": args.scst_steps,
+        "scst_curve": scst_curve,
     }
     print(json.dumps(summary))
     ok = after_xe["CIDEr"] > before["CIDEr"] + 0.1
