@@ -27,6 +27,7 @@ def main() -> int:
     ap.add_argument("--scst-steps", type=int, default=60)
     ap.add_argument("--scst-eval-every", type=int, default=0,
                     help="evaluate CIDEr every N SCST steps (curve mode)")
+    ap.add_argument("--scst-lr", type=float, default=2e-4)
     ap.add_argument("--images", type=int, default=96)
     ap.add_argument("--hidden", type=int, default=128)
     args = ap.parse_args()
@@ -59,7 +60,7 @@ def main() -> int:
         "data.batch_size": 48,
         "data.max_len": 14,
         "train.learning_rate": 3e-3,
-        "train.scst_learning_rate": 2e-4,
+        "train.scst_learning_rate": args.scst_lr,
         "train.epochs": 10_000,  # bounded by max_steps
         "train.scst_epochs": 10_000,
         "train.log_every": 50,
