@@ -44,6 +44,7 @@ from captionkit.nn.cells import (
     init_copy_lstm,
     init_lstm,
     lstm_encode,
+    lstm_gates,
 )
 from captionkit.nn.dispatch import (
     get_attention_fn,
@@ -73,6 +74,7 @@ class EditNetContext:
     features: jax.Array  # [B, R, F] region features (attention values)
     vis_keys: jax.Array  # [B, R, A]
     v_mean: jax.Array  # [B, F]
+    att_zv: jax.Array  # [B, 4H]  hoisted v̄·Wx_v att-LSTM pre-activation
     enc_hs: jax.Array  # [B, T, H]   (SCMA scoring targets)
     enc_cs: jax.Array  # [B, T, H]   (SCMA copy pool)
     scma_keys: jax.Array  # [B, T, A]
@@ -123,8 +125,19 @@ def encode(
     existing_len: jax.Array,  # [B]
 ) -> EditNetContext:
     dt = _cdt(cfg)
+    E, F = cfg.emb_dim, cfg.feat_dim
     emb = params.embedding[existing]
     hs, cs = lstm_encode(params.encoder, emb, existing_len, compute_dtype=dt)
+    v_mean = jnp.mean(features, axis=1)  # [B, F] fp32
+    # The att-LSTM consumes x_t = [w_emb_t ; v̄ ; h_lang]; the v̄ slice of
+    # that matmul is STEP-INVARIANT (v̄ never changes during decode), yet
+    # at paper scale it is 40% of the step's largest matmul — recomputed
+    # per step × per beam in a naive port. Hoist it here: one [B, F]x[F, 4H]
+    # matmul per sequence, added to the per-step gate pre-activations.
+    att_zv = jnp.dot(
+        v_mean.astype(dt), params.att_lstm.wx[E:E + F].astype(dt),
+        preferred_element_type=jnp.float32,
+    )
     # Context tensors are stored in compute dtype: the decode loop re-reads
     # features/keys/encoder states from HBM every step (×beam_width), so
     # bf16 storage halves the dominant HBM traffic of the step
@@ -133,7 +146,8 @@ def encode(
         features=features.astype(dt),
         vis_keys=project_keys(params.vis_attention, features,
                               compute_dtype=dt).astype(dt),
-        v_mean=jnp.mean(features, axis=1).astype(dt),
+        v_mean=v_mean.astype(dt),
+        att_zv=att_zv,
         enc_hs=hs.astype(dt),
         enc_cs=cs.astype(dt),
         scma_keys=project_keys(params.scma, hs, compute_dtype=dt).astype(dt),
@@ -174,11 +188,35 @@ def _step_hidden(
     attention = get_attention_fn(cfg.use_pallas)
     emb = params.embedding[token]  # [B, E]
 
-    # 1. Attention LSTM.
-    x_att = jnp.concatenate([emb, ctx.v_mean, state.h_lang], axis=-1)
-    h_att, c_att = lstm_cell(
-        params.att_lstm, x_att, state.h_att, state.c_att, compute_dtype=dt
-    )
+    # 1. Attention LSTM. The jnp path assembles the gate pre-activations
+    # from a [E+H+H, 4H] matmul over the step-VARYING inputs plus the
+    # hoisted step-invariant v̄ term (ctx.att_zv, computed once in encode;
+    # per-image under grouped beam layout). The Pallas cell kernel takes
+    # the full packed concat, so that path keeps the original form.
+    if cfg.use_pallas:
+        x_att = jnp.concatenate([emb, ctx.v_mean, state.h_lang], axis=-1)
+        h_att, c_att = lstm_cell(
+            params.att_lstm, x_att, state.h_att, state.c_att,
+            compute_dtype=dt,
+        )
+    else:
+        E, F = cfg.emb_dim, cfg.feat_dim
+        # Loop-invariant weight assembly — XLA hoists it out of scan/while.
+        w_att = jnp.concatenate(
+            [params.att_lstm.wx[:E], params.att_lstm.wx[E + F:],
+             params.att_lstm.wh], axis=0,
+        ).astype(dt)
+        x_var = jnp.concatenate(
+            [emb, state.h_lang, state.h_att], axis=-1
+        ).astype(dt)
+        z = jnp.dot(x_var, w_att, preferred_element_type=jnp.float32)
+        zv = ctx.att_zv  # [B, 4H]
+        N, B = z.shape[0], zv.shape[0]
+        if N != B:  # grouped beam layout: rows contiguous per image
+            z = (z.reshape(B, N // B, -1) + zv[:, None]).reshape(N, -1)
+        else:
+            z = z + zv
+        h_att, c_att = lstm_gates(z + params.att_lstm.b, state.c_att)
 
     # 2. Visual attention over regions (no mask: all 36 regions valid).
     v_hat, _ = attention(

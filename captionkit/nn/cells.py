@@ -71,6 +71,23 @@ def init_copy_lstm(key, in_dim: int, hidden: int) -> CopyLSTMParams:
     )
 
 
+def lstm_gates(
+    z: jax.Array,  # [B, 4H] pre-activation gates (i|f|g|o), fp32
+    c: jax.Array,  # [B, H]
+) -> tuple[jax.Array, jax.Array]:
+    """Standard LSTM gate math from pre-activations. Returns (h', c').
+    Factored out so callers can assemble z from partial matmuls (e.g.
+    EditNet hoists the step-invariant v̄-term out of the decode loop)."""
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
 def lstm_cell(
     params: LSTMParams,
     x: jax.Array,  # [B, in_dim]
@@ -92,14 +109,7 @@ def lstm_cell(
         [params.wx.astype(dt), params.wh.astype(dt)], axis=0
     )
     z = jnp.dot(xh, w, preferred_element_type=jnp.float32) + params.b
-    i, f, g, o = jnp.split(z, 4, axis=-1)
-    i = jax.nn.sigmoid(i)
-    f = jax.nn.sigmoid(f)
-    g = jnp.tanh(g)
-    o = jax.nn.sigmoid(o)
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    return h_new, c_new
+    return lstm_gates(z, c)
 
 
 def copy_lstm_cell(
