@@ -30,6 +30,10 @@ _LIB_PATHS = [
 
 
 def _load_lib() -> ctypes.CDLL:
+    if not any(p and os.path.exists(p) for p in _LIB_PATHS):
+        from captionkit.utils.nativebuild import ensure_native_built
+
+        ensure_native_built()
     for p in _LIB_PATHS:
         if p and os.path.exists(p):
             lib = ctypes.CDLL(os.path.abspath(p))

@@ -52,10 +52,18 @@ def _pad_axis(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
 def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
     """(TN, TV): double-buffered h/w/b blocks + fp32 logits tile + running
     top-k/lse scratch must fit the VMEM budget. Candidates are ordered by
-    measured throughput at paper scale (docs/DESIGN.md round-2 sweep:
-    512x1024 = 1.29ms/step, 1024x1024 = 1.38, 512x512 = 1.47,
-    1024x128 [the old budget-first pick] = 1.51)."""
-    for tn, tv in ((512, 1024), (1024, 1024), (512, 512), (256, 512),
+    measured FULL-PROGRAM throughput at paper scale (standalone scan
+    timings on this host carry multi-ms dispatch overhead and mislead —
+    docs/DESIGN.md): beam-5 batch=512 captions/s: 1024x1024 = 6386,
+    512x1024 = 6042, 1024x512 = 5248; 2560x256 OOMs scoped VMEM.
+
+    CAPTIONKIT_HEAD_TILES="TN,TV" overrides (perf experiments only)."""
+    import os
+    env = os.environ.get("CAPTIONKIT_HEAD_TILES")
+    if env:
+        tn, tv = (int(t) for t in env.split(","))
+        return min(tn, _round_up(N, 8)), min(tv, _round_up(V, 128))
+    for tn, tv in ((1024, 1024), (512, 1024), (512, 512), (256, 512),
                    (256, 256), (128, 256), (128, 128), (64, 128),
                    (32, 128), (16, 128), (8, 128)):
         h_blk = tn * H * itemsize
