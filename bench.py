@@ -16,6 +16,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import subprocess
@@ -109,7 +110,9 @@ def main() -> int:
     # conservative full-length decode cost (trained models with real
     # early exit are strictly faster). The CPU denominator uses the same
     # convention.
-    @jax.jit
+    from captionkit.utils.tpuopts import decode_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=decode_compiler_options())
     def decode(params, feats, existing, existing_len):
         ctx = model.encode(params, feats, existing, existing_len)
         return beam_search(

@@ -76,8 +76,11 @@ def make_decode_fn(
         )
         return out.tokens
 
+    from captionkit.utils.tpuopts import decode_compiler_options
+
+    opts = decode_compiler_options()
     if mesh is None:
-        return jax.jit(fn)
+        return jax.jit(fn, compiler_options=opts)
     from captionkit.parallel.mesh import batch_sharding, replicated
 
     repl, bsh = replicated(mesh), batch_sharding(mesh)
@@ -85,6 +88,7 @@ def make_decode_fn(
         fn,
         in_shardings=(repl, bsh, bsh, bsh, repl),
         out_shardings=NamedSharding(mesh, PartitionSpec()),
+        compiler_options=opts,
     )
 
 

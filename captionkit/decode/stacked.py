@@ -90,4 +90,6 @@ def make_stacked_decode_fn(
         toks2, _ = _decode(editnet, editnet_params, ctx2, second_stage)
         return toks2
 
-    return jax.jit(fn)
+    from captionkit.utils.tpuopts import decode_compiler_options
+
+    return jax.jit(fn, compiler_options=decode_compiler_options())
