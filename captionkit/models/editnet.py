@@ -213,10 +213,13 @@ def _step_hidden(
         zv = ctx.att_zv  # [B, 4H]
         N, B = z.shape[0], zv.shape[0]
         if N != B:  # grouped beam layout: rows contiguous per image
-            z = (z.reshape(B, N // B, -1) + zv[:, None]).reshape(N, -1)
-        else:
-            z = z + zv
-        h_att, c_att = lstm_gates(z + params.att_lstm.b, state.c_att)
+            # jnp.repeat of the loop-invariant zv is hoisted out of the
+            # decode while_loop by XLA, and the flat [N,4H] add fuses into
+            # the gate-math fusion. (The earlier reshape(B,G,·)+broadcast
+            # form forced a 42MB/step HBM round-trip of z — reshape.422
+            # in the profile.)
+            zv = jnp.repeat(zv, N // B, axis=0)
+        h_att, c_att = lstm_gates(z + zv + params.att_lstm.b, state.c_att)
 
     # 2. Visual attention over regions (no mask: all 36 regions valid).
     v_hat, _ = attention(

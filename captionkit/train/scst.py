@@ -70,10 +70,16 @@ def make_scst_rollout(
             "greedy_mask": greedy.mask,
         }
 
+    # Rollouts are decode programs — same scoped-VMEM rebalance as
+    # decode/driver.py (utils/tpuopts.py; +10% measured on beam decode).
+    from captionkit.utils.tpuopts import decode_compiler_options
+
+    opts = decode_compiler_options()
     if mesh is None:
-        return jax.jit(fn)
+        return jax.jit(fn, compiler_options=opts)
     repl, bsh = replicated(mesh), batch_sharding(mesh)
-    return jax.jit(fn, in_shardings=(repl, bsh, repl), out_shardings=bsh)
+    return jax.jit(fn, in_shardings=(repl, bsh, repl), out_shardings=bsh,
+                   compiler_options=opts)
 
 
 def make_scst_update(
