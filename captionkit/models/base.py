@@ -52,6 +52,17 @@ class ModelDef:
     # one Pallas kernel (captionkit.ops.head; round-2 profiling found the
     # XLA vocab tail was 42% of beam-step device time).
     step_topk: Optional[Callable[..., Any]] = None
+    # Optional training-optimized teacher forcing: (params, ctx, state0,
+    # tokens_in [B,T], rng, train) -> logits [B,T,V]. Row-wise identical
+    # math to scanning `step`, but the parts of the step that do not
+    # depend on recurrent state — the embedding lookup, the input-side
+    # slice of the gate matmul, and the vocab head — run OUTSIDE the scan
+    # as single batched matmuls. The win is the backward pass: scanning
+    # the full step makes XLA accumulate dW for EVERY weight once per
+    # timestep (~200MB of HBM read+write per token step at paper scale —
+    # the embedding-table and fc-head gradients alone are 39MB each);
+    # hoisting turns those into one matmul/scatter over B*T rows.
+    forward_seq: Optional[Callable[..., jax.Array]] = None
 
 
 def teacher_forcing_logits(
@@ -70,6 +81,8 @@ def teacher_forcing_logits(
     (SURVEY.md §4.1 'HOT LOOP') with one compiled scan. Returns
     logits [B, T, V] — logits[:, t] predicts the token after tokens_in[:, t].
     """
+    if model.forward_seq is not None:
+        return model.forward_seq(params, ctx, state, tokens_in, rng, train)
     T = tokens_in.shape[1]
     base_rng = rng if rng is not None else jax.random.PRNGKey(0)
 

@@ -168,25 +168,100 @@ def _step_hidden(
     device-resident)."""
     dt = _cdt(cfg)
     lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
-    attention = get_attention_fn(cfg.use_pallas)
     emb = params.embedding[token]  # [B, E]
-    att_ctx, _ = attention(
-        params.attention, ctx.att_keys, ctx.enc_hs, state.h, ctx.mask,
-        compute_dtype=dt,
-    )  # [B, H]
-    gate = jax.nn.sigmoid(state.h @ params.gate_w + params.gate_b)
-    att_ctx = gate * att_ctx
-    parts = [emb, att_ctx]
-    if ctx.features is not None and params.vis_attention is not None:
-        vis_ctx, _ = attention(
-            params.vis_attention, ctx.vis_keys, ctx.features, state.h,
-            None, compute_dtype=dt,
-        )
-        parts.append(vis_ctx)
-    x = jnp.concatenate(parts, axis=-1)
+    x = jnp.concatenate(
+        [emb] + _recurrent_contexts(params, cfg, ctx, state.h), axis=-1
+    )
     h, c = lstm_cell(params.decoder, x, state.h, state.c, compute_dtype=dt)
     out = dropout(h, cfg.dropout, rng, train)
     return DCNetState(h=h, c=c), out
+
+
+def _recurrent_contexts(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    ctx: DCNetContext,
+    h: jax.Array,  # [B, H] decoder hidden (attention query)
+) -> list[jax.Array]:
+    """The state-dependent decoder inputs: gated text attention context
+    (+ optional visual context)."""
+    dt = _cdt(cfg)
+    attention = get_attention_fn(cfg.use_pallas)
+    att_ctx, _ = attention(
+        params.attention, ctx.att_keys, ctx.enc_hs, h, ctx.mask,
+        compute_dtype=dt,
+    )  # [B, H]
+    gate = jax.nn.sigmoid(h @ params.gate_w + params.gate_b)
+    parts = [gate * att_ctx]
+    if ctx.features is not None and params.vis_attention is not None:
+        vis_ctx, _ = attention(
+            params.vis_attention, ctx.vis_keys, ctx.features, h,
+            None, compute_dtype=dt,
+        )
+        parts.append(vis_ctx)
+    return parts
+
+
+def forward_seq(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    ctx: DCNetContext,
+    state0: DCNetState,
+    tokens_in: jax.Array,  # [B, T]
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jax.Array:
+    """Training-optimized teacher forcing (see editnet.forward_seq — same
+    restructuring): embedding gather, the emb-slice of the decoder gate
+    matmul, and the vocab head run OUTSIDE the scan as batched ops, so
+    their backward pass is one matmul/scatter over B·T rows instead of T
+    per-step dW accumulations. Row-wise identical math to scanning
+    `step`."""
+    from captionkit.nn.cells import lstm_gates
+
+    dt = _cdt(cfg)
+    E = cfg.emb_dim
+    T = tokens_in.shape[1]
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    emb_seq = params.embedding[tokens_in]  # [B, T, E]
+    z_x = (
+        jnp.einsum(
+            "bte,ef->btf", emb_seq.astype(dt),
+            params.decoder.wx[:E].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params.decoder.b
+    )  # [B, T, 4H] fp32
+    w_rec = jnp.concatenate(
+        [params.decoder.wx[E:], params.decoder.wh], axis=0
+    ).astype(dt)
+
+    def body(carry, inp):
+        state = carry
+        z_t, t = inp
+        step_rng = jax.random.fold_in(base_rng, t) if train else None
+        x_rec = jnp.concatenate(
+            _recurrent_contexts(params, cfg, ctx, state.h) + [state.h],
+            axis=-1,
+        ).astype(dt)
+        z = z_t + jnp.dot(x_rec, w_rec, preferred_element_type=jnp.float32)
+        h, c = lstm_gates(z, state.c)
+        out = dropout(h, cfg.dropout, step_rng, train)
+        return DCNetState(h=h, c=c), out
+
+    _, outs = jax.lax.scan(
+        body, state0, (jnp.swapaxes(z_x, 0, 1), jnp.arange(T))
+    )
+    outs = jnp.swapaxes(outs, 0, 1)  # [B, T, H]
+    logits = (
+        jnp.einsum(
+            "bth,hv->btv", outs.astype(dt), params.fc_w.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params.fc_b
+    ).astype(jnp.float32)
+    return logits
 
 
 def step(
@@ -246,5 +321,10 @@ def make_model(cfg: ModelConfig) -> ModelDef:
                 params, cfg, ctx, state, token, k
             ))
             if cfg.use_fused_head else None
+        ),
+        forward_seq=(
+            None if cfg.use_pallas else
+            (lambda params, ctx, state0, tokens_in, rng=None, train=False:
+             forward_seq(params, cfg, ctx, state0, tokens_in, rng, train))
         ),
     )

@@ -221,6 +221,25 @@ def _step_hidden(
             zv = jnp.repeat(zv, N // B, axis=0)
         h_att, c_att = lstm_gates(z + zv + params.att_lstm.b, state.c_att)
 
+    return _finish_step(params, cfg, ctx, state, h_att, c_att, rng, train)
+
+
+def _finish_step(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    ctx: EditNetContext,
+    state: EditNetState,
+    h_att: jax.Array,
+    c_att: jax.Array,
+    rng: Optional[jax.Array],
+    train: bool,
+) -> tuple[EditNetState, jax.Array]:
+    """Steps 2–4 of the decode step (visual attention, SCMA, Copy-LSTM)
+    given the already-computed attention-LSTM state."""
+    dt = _cdt(cfg)
+    copy_lstm_cell = get_copy_lstm_cell_fn(cfg.use_pallas)
+    attention = get_attention_fn(cfg.use_pallas)
+
     # 2. Visual attention over regions (no mask: all 36 regions valid).
     v_hat, _ = attention(
         params.vis_attention, ctx.vis_keys, ctx.features, h_att,
@@ -247,6 +266,81 @@ def _step_hidden(
         EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang, c_lang=c_lang),
         out,
     )
+
+
+def forward_seq(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    ctx: EditNetContext,
+    state0: EditNetState,
+    tokens_in: jax.Array,  # [B, T]
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jax.Array:
+    """Training-optimized teacher forcing (ModelDef.forward_seq).
+
+    Row-wise identical math to scanning `step`, restructured so nothing
+    that is independent of the recurrent state lives inside the scan:
+
+    * embedding lookup for ALL timesteps — one gather (its gradient is
+      one scatter over B·T rows instead of T scatter-adds into the 39MB
+      table);
+    * the emb-slice of the att-LSTM gate matmul — one [B·T, E]x[E, 4H]
+      contraction (its dW is one matmul instead of T accumulations);
+    * the hoisted v̄ term (ctx.att_zv, also step-invariant);
+    * the vocab head — one [B·T, H]x[H, V] matmul after the scan (its
+      39MB fp32 dW was previously accumulated per timestep).
+
+    The scan carries only the genuinely recurrent math: the h-side gate
+    matmuls, attention/SCMA reads, and the Copy-LSTM.
+    """
+    dt = _cdt(cfg)
+    E = cfg.emb_dim
+    T = tokens_in.shape[1]
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    emb_seq = params.embedding[tokens_in]  # [B, T, E]
+    z_x = (
+        jnp.einsum(
+            "bte,ef->btf", emb_seq.astype(dt),
+            params.att_lstm.wx[:E].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + ctx.att_zv[:, None, :]
+        + params.att_lstm.b
+    )  # [B, T, 4H] fp32
+
+    F = cfg.feat_dim
+    w_rec = jnp.concatenate(
+        [params.att_lstm.wx[E + F:], params.att_lstm.wh], axis=0
+    ).astype(dt)  # [(H_lang + H_att), 4H]
+
+    def body(carry, inp):
+        state = carry
+        z_t, t = inp  # [B, 4H], []
+        step_rng = jax.random.fold_in(base_rng, t) if train else None
+        hh = jnp.concatenate(
+            [state.h_lang, state.h_att], axis=-1
+        ).astype(dt)
+        z = z_t + jnp.dot(hh, w_rec, preferred_element_type=jnp.float32)
+        h_att, c_att = lstm_gates(z, state.c_att)
+        state, out = _finish_step(
+            params, cfg, ctx, state, h_att, c_att, step_rng, train
+        )
+        return state, out
+
+    _, outs = jax.lax.scan(
+        body, state0, (jnp.swapaxes(z_x, 0, 1), jnp.arange(T))
+    )  # outs [T, B, H]
+    outs = jnp.swapaxes(outs, 0, 1)  # [B, T, H]
+    logits = (
+        jnp.einsum(
+            "bth,hv->btv", outs.astype(dt), params.fc_w.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params.fc_b
+    ).astype(jnp.float32)
+    return logits
 
 
 def step(
@@ -312,5 +406,12 @@ def make_model(cfg: ModelConfig) -> ModelDef:
                 params, cfg, ctx, state, token, k
             ))
             if cfg.use_fused_head else None
+        ),
+        # Training-optimized teacher forcing (jnp path only: the Pallas
+        # cell kernel consumes the full packed input concat).
+        forward_seq=(
+            None if cfg.use_pallas else
+            (lambda params, ctx, state0, tokens_in, rng=None, train=False:
+             forward_seq(params, cfg, ctx, state0, tokens_in, rng, train))
         ),
     )

@@ -168,6 +168,81 @@ def _make_head_kernel(k: int, TV: int):
     return kernel
 
 
+def _make_sweep_kernel(k: int, Vp: int):
+    """Single-sweep variant: the whole padded vocab is ONE tile. No
+    cross-tile merge, no running log-sum-exp rescale, and the weight
+    block's index map is constant so Mosaic loads W exactly once for the
+    whole grid (vs once per row-block in the tiled kernel). Needs the
+    per-kernel VMEM limit raised (pltpu.CompilerParams.vmem_limit_bytes);
+    v5e has 128MB of VMEM and the default 16MB cap strands it."""
+
+    def kernel(h_ref, w_ref, b_ref, vals_out, idx_out, lse_out):
+        logits = (
+            jnp.dot(h_ref[...], w_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_ref[...]
+        )  # [TN, Vp] fp32
+        tn = logits.shape[0]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        s = jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True)
+        lse_out[...] = m + jnp.log(s)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (tn, Vp), 1)
+        tile = logits
+        vs, ids = [], []
+        for _ in range(k):
+            mx, am = _rowmax_argmax(tile, col)
+            vs.append(mx)
+            ids.append(am)
+            tile = jnp.where(col == am[:, None], _NEG, tile)
+        vals_out[...] = jnp.stack(vs, axis=1)
+        idx_out[...] = jnp.stack(ids, axis=1)
+
+    return kernel
+
+
+def _sweep_head_topk(h, w, b, *, k, compute_dtype, interpret):
+    N, H = h.shape
+    V = w.shape[1]
+    dt = compute_dtype
+    TN = min(int(__import__("os").environ.get("CAPTIONKIT_SWEEP_TN", 256)), _round_up(N, 8))
+    Np, Vp = _round_up(N, TN), _round_up(V, 128)
+    h_p = _pad_axis(h.astype(dt), 0, Np)
+    w_p = _pad_axis(w.astype(dt), 1, Vp)
+    b_p = _pad_axis(b.astype(jnp.float32), 0, Vp, value=_NEG).reshape(1, Vp)
+    grid = (Np // TN,)
+    vals, idx, lse = pl.pallas_call(
+        _make_sweep_kernel(k, Vp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TN, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Vp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # constant: loaded once
+            pl.BlockSpec((1, Vp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TN, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, k), jnp.float32),
+            jax.ShapeDtypeStruct((Np, k), jnp.int32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(h_p, w_p, b_p)
+    return vals[:N], idx[:N], lse[:N, 0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "compute_dtype", "interpret", "tiles")
 )
@@ -184,6 +259,10 @@ def fused_head_topk(
     """Returns (top_vals [N,k] fp32 raw logits, top_idx [N,k] int32,
     lse [N] fp32) — top-k by logit value == top-k by log-prob, since the
     log-sum-exp is a per-row constant."""
+    import os
+    if os.environ.get("CAPTIONKIT_HEAD_SWEEP"):
+        return _sweep_head_topk(h, w, b, k=k, compute_dtype=compute_dtype,
+                                interpret=interpret)
     N, H = h.shape
     V = w.shape[1]
     dt = compute_dtype
