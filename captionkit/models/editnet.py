@@ -329,6 +329,9 @@ def forward_seq(
         )
         return state, out
 
+    # (scan unroll measured: unroll=3 -> 17.9, unroll=7 -> 18.8 steps/s
+    # vs 21.0 at unroll=1, B=256 — bloats the body without fusing the
+    # per-step dW accumulates, so it stays rolled.)
     _, outs = jax.lax.scan(
         body, state0, (jnp.swapaxes(z_x, 0, 1), jnp.arange(T))
     )  # outs [T, B, H]
