@@ -182,3 +182,30 @@ def test_dcnet_visual_flag():
         return np.asarray(logits)
 
     np.testing.assert_array_equal(logits0(feats_a), logits0(feats_b))
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+def test_forward_seq_matches_generic_scan_in_train_mode(arch):
+    """ModelDef.forward_seq (training-optimized teacher forcing) must be
+    row-wise identical to scanning `step` — including the per-step
+    dropout rng folding."""
+    import dataclasses
+
+    cfg, model, params, ctx = _setup(arch)
+    assert model.forward_seq is not None
+    tokens_in = jnp.asarray(
+        np.random.default_rng(2).integers(1, cfg.vocab_size, (3, 6)),
+        jnp.int32,
+    )
+    state0 = model.init_state(params, ctx)
+    rng = jax.random.PRNGKey(11)
+    fast = teacher_forcing_logits(
+        model, params, ctx, state0, tokens_in, rng=rng, train=True
+    )
+    generic = teacher_forcing_logits(
+        dataclasses.replace(model, forward_seq=None),
+        params, ctx, state0, tokens_in, rng=rng, train=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(generic), atol=1e-5
+    )

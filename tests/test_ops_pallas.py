@@ -195,3 +195,26 @@ def test_beam_search_fused_head_matches_reference_path():
                                       np.asarray(rr.tokens))
         np.testing.assert_allclose(np.asarray(rf.scores),
                                    np.asarray(rr.scores), atol=1e-5)
+
+
+class TestSweepHeadVariant:
+    """Single-sweep head variant (_sweep_head_topk): whole vocab as one
+    tile, W resident via a raised per-kernel VMEM limit. Measured SLOWER
+    than the tiled kernel at paper scale (docs/DESIGN.md) so it is not
+    the default, but it must stay exact while it exists."""
+
+    @pytest.mark.parametrize("N,H,V,k", [(16, 32, 300, 5), (40, 48, 1000, 3)])
+    def test_parity_interpret(self, N, H, V, k):
+        from captionkit.ops.head import _sweep_head_topk, reference_head_topk
+
+        rng = np.random.default_rng(N * V)
+        h = jnp.asarray(rng.standard_normal((N, H)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((H, V)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((V,)).astype(np.float32))
+        v1, i1, l1 = _sweep_head_topk(h, w, b, k=k,
+                                      compute_dtype=jnp.float32,
+                                      interpret=True)
+        v2, i2, l2 = reference_head_topk(h, w, b, k=k)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
