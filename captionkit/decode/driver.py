@@ -142,6 +142,7 @@ def decode_split(
             n_decoded += 1
 
     feed_dt = jnp.dtype(decode_cfg.feed_dtype)
+    t_total = time.perf_counter()
     for batch_idx, batch in enumerate(dataset.batches(decode_cfg.batch_size)):
         feats = batch.features
         if feats is not None and feats.dtype != feed_dt:
@@ -159,9 +160,13 @@ def decode_split(
     while pending:
         _consume()
     elapsed = time.perf_counter() - (t_start or time.perf_counter())
+    # wall_s covers the WHOLE split (including the compile batch);
+    # captions_per_sec is steady-state only (batches after the first) and
+    # reads 0.0 when the split fits in one batch — there is no
+    # compile-free window to measure then.
     stats = {
         "captions": float(n_decoded),
-        "wall_s": elapsed,
+        "wall_s": time.perf_counter() - t_total,
         "captions_per_sec": n_timed / elapsed if elapsed > 0 and n_timed
         else 0.0,
     }
