@@ -331,7 +331,8 @@ def forward_seq(
 
     # (scan unroll measured: unroll=3 -> 17.9, unroll=7 -> 18.8 steps/s
     # vs 21.0 at unroll=1, B=256 — bloats the body without fusing the
-    # per-step dW accumulates, so it stays rolled.)
+    # per-step dW accumulates, so it stays rolled. lax.scan's experimental
+    # _split_transpose was also measured: no effect at these shapes.)
     _, outs = jax.lax.scan(
         body, state0, (jnp.swapaxes(z_x, 0, 1), jnp.arange(T))
     )  # outs [T, B, H]

@@ -172,14 +172,31 @@ def lstm_encode(
     """
     B, T, _ = emb.shape
     H = params.wh.shape[0]
+    dt = compute_dtype
     h0 = jnp.zeros((B, H), jnp.float32)
     c0 = jnp.zeros((B, H), jnp.float32)
 
+    # The input-side gate matmul depends only on the (fully known) input
+    # sequence — run it for all timesteps as ONE batched contraction so
+    # the scan carries only the recurrent h-matmul. In the backward pass
+    # this also turns T per-step dWx accumulations into a single matmul
+    # over B·T rows (see ModelDef.forward_seq for the same restructuring
+    # of the decoders).
+    z_x = (
+        jnp.einsum(
+            "bte,ef->btf", emb.astype(dt), params.wx.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params.b
+    )  # [B, T, 4H] fp32
+    wh = params.wh.astype(dt)
+
     def step(carry, inp):
         h, c = carry
-        x_t, valid_t = inp  # [B, E], [B]
-        h_new, c_new = lstm_cell(params, x_t, h, c,
-                                 compute_dtype=compute_dtype)
+        z_t, valid_t = inp  # [B, 4H], [B]
+        z = z_t + jnp.dot(h.astype(dt), wh,
+                          preferred_element_type=jnp.float32)
+        h_new, c_new = lstm_gates(z, c)
         keep = valid_t[:, None]
         h = jnp.where(keep, h_new, h)
         c = jnp.where(keep, c_new, c)
@@ -189,6 +206,6 @@ def lstm_encode(
     (_, _), (hs, cs) = jax.lax.scan(
         step,
         (h0, c0),
-        (jnp.swapaxes(emb, 0, 1), jnp.swapaxes(valid, 0, 1)),
+        (jnp.swapaxes(z_x, 0, 1), jnp.swapaxes(valid, 0, 1)),
     )
     return jnp.swapaxes(hs, 0, 1), jnp.swapaxes(cs, 0, 1)
