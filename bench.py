@@ -58,6 +58,7 @@ def main() -> int:
     ap.add_argument("--images", type=int, default=5000,
                     help="split size (Karpathy test = 5000)")
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--arch", choices=["editnet", "dcnet"], default="editnet")
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--max-len", type=int, default=22)
     ap.add_argument("--no-baseline", action="store_true",
@@ -85,7 +86,7 @@ def main() -> int:
     from captionkit.models import get_model
     from captionkit.utils.config import ModelConfig
 
-    mcfg = ModelConfig(arch="editnet", dropout=0.0,
+    mcfg = ModelConfig(arch=args.arch, dropout=0.0,
                        use_pallas=args.use_pallas, **PAPER)
     model = get_model(mcfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -149,7 +150,7 @@ def main() -> int:
 
     print(json.dumps({
         "metric": (
-            f"captions/sec/chip (EditNet paper-scale, beam={args.beam}, "
+            f"captions/sec/chip ({args.arch} paper-scale, beam={args.beam}, "
             f"batch={B}, {n_caps} synthetic Karpathy-test images, "
             f"forced full {args.max_len}-step decode [end disabled on both "
             f"sides: untrained weights would finish at step 1], "

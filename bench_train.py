@@ -54,6 +54,7 @@ def flops_per_step(mcfg, B: int, L: int) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--arch", choices=["editnet", "dcnet"], default="editnet")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--max-len", type=int, default=22)
     ap.add_argument("--scan-k", type=int, default=8)
@@ -77,7 +78,7 @@ def main() -> int:
     from captionkit.train.xe import make_xe_train_multistep, make_xe_train_step
     from captionkit.utils.config import ModelConfig, TrainConfig
 
-    mcfg = ModelConfig(arch="editnet", dropout=0.5, **PAPER)
+    mcfg = ModelConfig(arch=args.arch, dropout=0.5, **PAPER)
     model = get_model(mcfg)
     tcfg = TrainConfig(learning_rate=4e-4, donate_state=True)
     mesh = make_mesh((-1,), ("data",))
@@ -102,15 +103,17 @@ def main() -> int:
         sps = steps / wall
         out = {
             "metric": (
-                f"XE train steps/sec (EditNet paper-scale, global batch={B},"
+                f"XE train steps/sec ({args.arch} paper-scale, global batch={B},"
                 f" L={L}, {name}, DP mesh over {len(jax.devices())} "
                 f"device(s))"
             ),
             "value": round(sps, 3),
             "unit": "steps/sec",
             "captions_per_sec": round(sps * B, 1),
-            "est_mfu_pct": round(fps * sps / peak * 100, 1),
         }
+        if args.arch == "editnet":
+            # the analytic FLOP model below is EditNet-specific
+            out["est_mfu_pct"] = round(fps * sps / peak * 100, 1)
         out.update(extra or {})
         print(json.dumps(out))
 
