@@ -183,9 +183,6 @@ def _step_hidden(
     SURVEY.md §4.2's hot loop, one fused trace. Returns the (possibly
     dropped-out) language hidden state the head consumes."""
     dt = _cdt(cfg)
-    lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
-    copy_lstm_cell = get_copy_lstm_cell_fn(cfg.use_pallas)
-    attention = get_attention_fn(cfg.use_pallas)
     emb = params.embedding[token]  # [B, E]
 
     # 1. Attention LSTM. The jnp path assembles the gate pre-activations
@@ -194,6 +191,7 @@ def _step_hidden(
     # per-image under grouped beam layout). The Pallas cell kernel takes
     # the full packed concat, so that path keeps the original form.
     if cfg.use_pallas:
+        lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
         x_att = jnp.concatenate([emb, ctx.v_mean, state.h_lang], axis=-1)
         h_att, c_att = lstm_cell(
             params.att_lstm, x_att, state.h_att, state.c_att,

@@ -26,14 +26,31 @@ in its own row's top-K.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tile budget under the DEFAULT 16MB per-program scoped-VMEM limit, so
+# the kernel compiles inside any user's plain jax.jit. Round-2 full-
+# program A/Bs found this is ALSO the fastest measured configuration:
+# with the decode programs' 48MB scoped rebalance (utils/tpuopts.py) the
+# (512,512) pick reaches 7,272 captions/s, while forcing bigger tiles
+# via a per-kernel vmem_limit_bytes reservation STARVES the program's
+# memory-space-assignment feature cache (64M limit: 5,302; 28M: 6,911).
+# Bigger tiles remain reachable via CAPTIONKIT_HEAD_TILES for programs
+# that raise the scoped limit themselves.
 VMEM_BUDGET = 10 * 1024 * 1024
 _NEG = -1e30
+
+# Perf-experiment overrides, read ONCE at import: fused_head_topk is
+# jit-cached on shapes/static args, so a post-import env change would be
+# silently ignored for already-traced shapes anyway.
+_ENV_TILES = os.environ.get("CAPTIONKIT_HEAD_TILES", "")
+_ENV_SWEEP = bool(os.environ.get("CAPTIONKIT_HEAD_SWEEP", ""))
+_ENV_SWEEP_TN = int(os.environ.get("CAPTIONKIT_SWEEP_TN", "256"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,19 +68,18 @@ def _pad_axis(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
 
 def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
     """(TN, TV): double-buffered h/w/b blocks + fp32 logits tile + running
-    top-k/lse scratch must fit the VMEM budget. Candidates are ordered by
-    measured FULL-PROGRAM throughput at paper scale (standalone scan
-    timings on this host carry multi-ms dispatch overhead and mislead —
-    docs/DESIGN.md): beam-5 batch=512 captions/s: 1024x1024 = 6386,
-    512x1024 = 6042, 1024x512 = 5248; 2560x256 OOMs scoped VMEM.
+    top-k/lse scratch must fit the VMEM budget (at paper scale the budget
+    admits (512,512) — see the module-level note: bigger tiles measured
+    SLOWER end-to-end once the program-level scoped-VMEM rebalance is in
+    effect, and per-kernel VMEM reservations regress the whole program).
 
-    CAPTIONKIT_HEAD_TILES="TN,TV" overrides (perf experiments only)."""
-    import os
-    env = os.environ.get("CAPTIONKIT_HEAD_TILES")
-    if env:
-        tn, tv = (int(t) for t in env.split(","))
+    CAPTIONKIT_HEAD_TILES="TN,TV" overrides (perf experiments only;
+    read at import time — see _ENV_TILES)."""
+    if _ENV_TILES:
+        tn, tv = (int(t) for t in _ENV_TILES.split(","))
         return min(tn, _round_up(N, 8)), min(tv, _round_up(V, 128))
-    for tn, tv in ((1024, 1024), (512, 1024), (512, 512), (256, 512),
+    for tn, tv in ((1024, 1024), (512, 1024), (512, 512),
+                   (256, 512),
                    (256, 256), (128, 256), (128, 128), (64, 128),
                    (32, 128), (16, 128), (8, 128)):
         h_blk = tn * H * itemsize
@@ -205,7 +221,7 @@ def _sweep_head_topk(h, w, b, *, k, compute_dtype, interpret):
     N, H = h.shape
     V = w.shape[1]
     dt = compute_dtype
-    TN = min(int(__import__("os").environ.get("CAPTIONKIT_SWEEP_TN", 256)), _round_up(N, 8))
+    TN = min(_ENV_SWEEP_TN, _round_up(N, 8))
     Np, Vp = _round_up(N, TN), _round_up(V, 128)
     h_p = _pad_axis(h.astype(dt), 0, Np)
     w_p = _pad_axis(w.astype(dt), 1, Vp)
@@ -259,8 +275,7 @@ def fused_head_topk(
     """Returns (top_vals [N,k] fp32 raw logits, top_idx [N,k] int32,
     lse [N] fp32) — top-k by logit value == top-k by log-prob, since the
     log-sum-exp is a per-row constant."""
-    import os
-    if os.environ.get("CAPTIONKIT_HEAD_SWEEP"):
+    if _ENV_SWEEP:
         return _sweep_head_topk(h, w, b, k=k, compute_dtype=compute_dtype,
                                 interpret=interpret)
     N, H = h.shape
