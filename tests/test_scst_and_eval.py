@@ -252,3 +252,24 @@ def test_scst_pipelined_respects_max_steps():
         model, state, cfg, src.dataset, None, pipeline=True, max_steps=2,
     )
     assert int(state2.step) == 2
+
+
+def test_decode_split_stats_semantics():
+    """wall_s covers the whole split (compile batch included);
+    captions_per_sec is steady-state only, so it reads 0.0 for a
+    single-batch split and positive once later batches exist."""
+    src, mcfg, model, tcfg, state = _setup(num_images=12)
+    ev = src.eval_view()
+    from captionkit.utils.config import DecodeConfig
+
+    one = DecodeConfig(method="greedy", max_decode_len=8, batch_size=16)
+    _, stats1 = decode_split(model, state.params, ev, one)
+    assert stats1["captions"] == 12
+    assert stats1["wall_s"] > 0.001  # whole split, not post-compile only
+    assert stats1["captions_per_sec"] == 0.0  # no steady-state window
+
+    many = DecodeConfig(method="greedy", max_decode_len=8, batch_size=4)
+    _, stats2 = decode_split(model, state.params, ev, many)
+    assert stats2["captions"] == 12
+    assert stats2["captions_per_sec"] > 0.0
+    assert stats2["wall_s"] > 0.0
