@@ -96,8 +96,10 @@ def main() -> int:
         "target_len": rr.integers(8, L + 1, (B,)).astype(np.int32),
         "valid": np.ones((B,), bool),
     }
-    fps = flops_per_step(mcfg, B, L)
-    peak = 197e12  # v5e bf16
+    if args.arch == "editnet":
+        # the analytic FLOP model is EditNet-specific; skip it otherwise
+        fps = flops_per_step(mcfg, B, L)
+        peak = 197e12  # v5e bf16
 
     def report(name, steps, wall, extra=None):
         sps = steps / wall

@@ -47,10 +47,45 @@ _NEG = -1e30
 
 # Perf-experiment overrides, read ONCE at import: fused_head_topk is
 # jit-cached on shapes/static args, so a post-import env change would be
-# silently ignored for already-traced shapes anyway.
-_ENV_TILES = os.environ.get("CAPTIONKIT_HEAD_TILES", "")
+# silently ignored for already-traced shapes anyway. Parsed defensively:
+# a malformed value must not break module import or surface as an opaque
+# error deep inside a jitted program.
+
+
+def _parse_tiles_env(raw: str) -> tuple[int, int] | None:
+    if not raw:
+        return None
+    try:
+        tn, tv = (int(t) for t in raw.split(","))
+        if tn <= 0 or tv <= 0:
+            raise ValueError("tiles must be positive")
+        return tn, tv
+    except ValueError as e:
+        import warnings
+
+        warnings.warn(
+            f"CAPTIONKIT_HEAD_TILES={raw!r} is not 'TN,TV' positive ints "
+            f"({e}); ignoring the override"
+        )
+        return None
+
+
+def _parse_int_env(name: str, default: int) -> int:
+    raw = os.environ.get(name, "")
+    if not raw:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"{name}={raw!r} is not an int; using {default}")
+        return default
+
+
+_ENV_TILES = _parse_tiles_env(os.environ.get("CAPTIONKIT_HEAD_TILES", ""))
 _ENV_SWEEP = bool(os.environ.get("CAPTIONKIT_HEAD_SWEEP", ""))
-_ENV_SWEEP_TN = int(os.environ.get("CAPTIONKIT_SWEEP_TN", "256"))
+_ENV_SWEEP_TN = _parse_int_env("CAPTIONKIT_SWEEP_TN", 256)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -74,9 +109,26 @@ def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
     effect, and per-kernel VMEM reservations regress the whole program).
 
     CAPTIONKIT_HEAD_TILES="TN,TV" overrides (perf experiments only;
-    read at import time — see _ENV_TILES)."""
-    if _ENV_TILES:
-        tn, tv = (int(t) for t in _ENV_TILES.split(","))
+    read at import time — see _ENV_TILES). The override bypasses the
+    budget walk below; if it would blow the default-scoped-VMEM budget a
+    warning names the env var, since the eventual failure is an opaque
+    Mosaic compile error."""
+    if _ENV_TILES is not None:
+        tn, tv = _ENV_TILES
+        est = (
+            2 * (tn * H + H * tv + tv) * itemsize
+            + tn * tv * 4
+            + tn * (4 * _round_up(k, 128) + 3 * 128) * 4
+        )
+        if est > VMEM_BUDGET:
+            import warnings
+
+            warnings.warn(
+                f"CAPTIONKIT_HEAD_TILES={tn},{tv} needs ~{est >> 20}MB of "
+                f"VMEM, over the {VMEM_BUDGET >> 20}MB budget the default "
+                "path enforces — expect a Mosaic OOM unless the program "
+                "raises its scoped-VMEM limit"
+            )
         return min(tn, _round_up(N, 8)), min(tv, _round_up(V, 128))
     for tn, tv in ((1024, 1024), (512, 1024), (512, 512),
                    (256, 512),
