@@ -33,7 +33,8 @@ def test_dryrun_multichip_driver_invocation():
         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "one DP step ok" in proc.stdout
+    for fam in ("XE multistep", "SCST rollout+update", "beam decode"):
+        assert fam in proc.stdout and "ok" in proc.stdout, proc.stdout
 
 
 def test_dryrun_multichip_after_backend_init():
@@ -44,4 +45,5 @@ def test_dryrun_multichip_after_backend_init():
         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "one DP step ok" in proc.stdout
+    for fam in ("XE multistep", "SCST rollout+update", "beam decode"):
+        assert fam in proc.stdout and "ok" in proc.stdout, proc.stdout
