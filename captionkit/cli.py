@@ -307,6 +307,10 @@ def cmd_parity_gate(args) -> int:
             cfg.model, vocab_size=len(eval_ds.vocab)
         )
     )
+    expected_captions = None
+    if args.expected_captions:
+        with open(args.expected_captions) as f:
+            expected_captions = json.load(f)
     report = run_parity_gate(
         args.ckpt, cfg, eval_ds,
         name_map=_load_name_map(args.name_map),
@@ -314,6 +318,7 @@ def cmd_parity_gate(args) -> int:
         cider_tol=args.cider_tol,
         max_images=args.max_images,
         out_params_path=args.out,
+        expected_captions=expected_captions,
     )
     print(json.dumps(report, indent=2, default=str))
     return 0 if report["ok"] else 1
@@ -408,6 +413,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "table")
     sp.add_argument("--expected-cider", dest="expected_cider", type=float,
                     help="published CIDEr to gate against (+/- tol)")
+    sp.add_argument("--expected-captions", dest="expected_captions",
+                    help="JSON {image_id: caption} of the original repo's "
+                         "published greedy captions; gates exact string "
+                         "match (catches semantics weights can't express, "
+                         "e.g. soft-vs-hard SCMA)")
     sp.add_argument("--cider-tol", dest="cider_tol", type=float, default=0.2)
     sp.add_argument("--max-images", dest="max_images", type=int,
                     help="cap greedy-identical comparison size")

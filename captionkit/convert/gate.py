@@ -16,6 +16,13 @@ Checks, in order:
    Skipped (reported, not failed) when the state dict does not load into
    the twin layout — e.g. a real checkpoint whose module names were
    fitted via --name-map but whose twin would need the same fitting.
+2b. **greedy-expected** — when the original repo's *published generated
+   captions* are available ({image_id: caption} JSON), compare our
+   greedy strings against them directly. This is the check that catches
+   semantics the weights cannot express — e.g. a checkpoint whose
+   original code used HARD SCMA selection (SURVEY.md §8.3 #1): the twin
+   check alone would pass soft-vs-soft, but the published captions
+   won't match until the scma_select knob is fitted.
 3. **beam CIDEr** — beam decode the eval split, score CIDEr(-D semantics),
    compare against --expected-cider +/- tol when given (BASELINE's
    "CIDEr +/- 0.2" gate).
@@ -76,8 +83,12 @@ def _build_twin(mcfg, raw, name_map):
         twin = TorchDCNet(mcfg.vocab_size, mcfg.emb_dim, mcfg.hidden_dim,
                           mcfg.att_dim)
     else:
+        # The twin mirrors the config's selection semantics: fitting a
+        # real checkpoint may require scma_select="hard" on BOTH sides
+        # (the knob is not recorded in the weights — SURVEY.md §8.3 #1).
         twin = TorchEditNet(mcfg.vocab_size, mcfg.emb_dim, mcfg.hidden_dim,
-                            mcfg.att_dim, mcfg.feat_dim)
+                            mcfg.att_dim, mcfg.feat_dim,
+                            scma_mode=mcfg.scma_select)
     stripped = {
         (k[len(strip):] if strip and k.startswith(strip) else k):
             torch.as_tensor(np.asarray(v.detach().cpu().numpy()
@@ -101,6 +112,7 @@ def run_parity_gate(
     cider_tol: float = 0.2,
     max_images: Optional[int] = None,
     out_params_path: Optional[str] = None,
+    expected_captions: Optional[Mapping[int, str]] = None,
 ) -> dict:
     """Run the full gate; returns a JSON-able report with per-check status
     and overall "ok"."""
@@ -170,6 +182,43 @@ def run_parity_gate(
         report["checks"]["greedy_identical"] = {
             "status": "pass" if not mismatches else "fail",
             "images": int(len(twin_seqs)),
+            "mismatches": mismatches[:5],
+        }
+
+    # -- 2b. greedy vs published captions -----------------------------------
+    if expected_captions is not None:
+        n = eval_ds.size if max_images is None else min(max_images,
+                                                        eval_ds.size)
+        feats = (None if eval_ds.features is None
+                 else jnp.asarray(np.asarray(eval_ds.features[:n],
+                                             np.float32)))
+        ctx = model.encode(
+            params, feats,
+            jnp.asarray(np.asarray(eval_ds.existing[:n], np.int32)),
+            jnp.asarray(np.asarray(eval_ds.existing_len[:n], np.int32)),
+        )
+        ours = np.asarray(
+            greedy_decode(model, params, ctx, start_id=vocab.start,
+                          end_id=vocab.end,
+                          max_len=cfg.decode.max_decode_len).tokens
+        )
+        compared = 0
+        mismatches = []
+        for b in range(n):
+            img = int(np.asarray(eval_ds.image_index[b]))
+            want = expected_captions.get(img)
+            if want is None:
+                want = expected_captions.get(str(img))
+            if want is None:
+                continue
+            compared += 1
+            got = vocab.decode_to_string(ours[b])
+            if got != want:
+                mismatches.append({"image": img, "ours": got,
+                                   "published": want})
+        report["checks"]["greedy_expected"] = {
+            "status": "pass" if (compared and not mismatches) else "fail",
+            "compared": compared,
             "mismatches": mismatches[:5],
         }
 

@@ -152,8 +152,13 @@ class TorchEditNet(nn.Module):
     """Twin of captionkit.models.editnet."""
 
     def __init__(self, vocab: int, emb: int = 1024, hidden: int = 1024,
-                 att: int = 512, feat: int = 2048):
+                 att: int = 512, feat: int = 2048,
+                 scma_mode: str = "soft"):
         super().__init__()
+        # Selection semantics are NOT recorded in a state dict; fitting a
+        # real checkpoint may require flipping this to "hard"
+        # (SURVEY.md §8.3 #1) — mirrored by ModelConfig.scma_select.
+        self.scma_mode = scma_mode
         self.embedding = nn.Embedding(vocab, emb)
         self.encoder = ManualLSTMCell(emb, hidden)
         self.att_lstm = ManualLSTMCell(emb + feat + hidden, hidden)
@@ -186,7 +191,11 @@ class TorchEditNet(nn.Module):
         v_hat, _ = self.vis_attention(ctx["features"], h_att)
         v_hat = torch.sigmoid(self.f_beta(h_att)) * v_hat
         _, beta = self.scma(ctx["enc_hs"], h_att, ctx["mask"])
-        c_star = (beta.unsqueeze(-1) * ctx["enc_cs"]).sum(1)
+        if self.scma_mode == "hard":
+            idx = beta.argmax(-1)
+            c_star = ctx["enc_cs"][torch.arange(idx.shape[0]), idx]
+        else:
+            c_star = (beta.unsqueeze(-1) * ctx["enc_cs"]).sum(1)
         h_lang, c_lang = self.lang_lstm(
             torch.cat([v_hat, h_att], -1), h_lang, c_lang, c_star
         )

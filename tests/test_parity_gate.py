@@ -188,3 +188,60 @@ def test_parity_gate_cli(tmp_path, capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["checks"]["greedy_identical"]["status"] == "pass", report
     assert report["checks"]["beam_cider"]["status"] == "pass"
+
+
+def test_parity_gate_fits_hard_scma_checkpoint(tmp_path, synth):
+    """SURVEY.md §8.3 #1 rehearsal: a checkpoint whose original code used
+    HARD selection carries no trace of that in its weights — twin-vs-model
+    greedy (both built from our config) passes either way and cannot catch
+    it. The published-captions check can: gate the converted model against
+    the ORIGINAL code's greedy strings; the soft default must FAIL, and
+    flipping the one config knob (scma_select=hard) must make the same
+    checkpoint + captions pass."""
+    import dataclasses
+
+    from captionkit.convert.gate import _twin_greedy, run_parity_gate
+
+    torch.manual_seed(3)
+    hard_twin = TorchEditNet(len(synth.vocab), E, H, A, F,
+                             scma_mode="hard").eval()
+    ckpt = tmp_path / "hard_ckpt.pth"
+    torch.save(hard_twin.state_dict(), ckpt)
+
+    # "Published captions": what the original (hard-selection) code emits.
+    ds = synth.dataset.eval_view()
+    vocab = synth.vocab
+    seqs = _twin_greedy(
+        hard_twin, "editnet",
+        np.asarray(ds.features, np.float32), np.asarray(ds.existing),
+        np.asarray(ds.existing_len),
+        start_id=vocab.start, end_id=vocab.end, max_len=12,
+    )
+    published = {
+        int(ds.image_index[b]): vocab.decode_to_string(seq)
+        for b, seq in enumerate(seqs)
+    }
+
+    cfg_soft = _gate_cfg(len(synth.vocab))
+    assert cfg_soft.model.scma_select == "soft"
+    report = run_parity_gate(str(ckpt), cfg_soft, synth.dataset,
+                             expected_captions=published)
+    # The twin check is blind to the knob (soft model vs soft twin)...
+    assert report["checks"]["greedy_identical"]["status"] == "pass"
+    # ...but the published captions are not.
+    assert report["checks"]["greedy_expected"]["status"] == "fail", (
+        "soft decode of a hard-mode checkpoint should diverge from the "
+        "hard-mode captions; if this starts passing, the fixture weights "
+        "no longer discriminate the modes - reseed them")
+    assert report["ok"] is False
+
+    cfg_hard = dataclasses.replace(
+        cfg_soft,
+        model=dataclasses.replace(cfg_soft.model, scma_select="hard"),
+    )
+    report = run_parity_gate(str(ckpt), cfg_hard, synth.dataset,
+                             expected_captions=published)
+    assert report["checks"]["greedy_identical"]["status"] == "pass", report
+    assert report["checks"]["greedy_expected"]["status"] == "pass", report
+    assert report["checks"]["greedy_expected"]["compared"] == 6
+    assert report["ok"] is True

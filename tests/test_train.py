@@ -26,12 +26,12 @@ MCFG = dict(
 )
 
 
-def _setup(arch="editnet", num_images=16, batch_size=16, seed=0):
+def _setup(arch="editnet", num_images=16, batch_size=16, seed=0, **over):
     src = SyntheticCaptionSource(
         num_images=num_images, captions_per_image=2, num_regions=4,
         feat_dim=12, max_len=12, seed=seed,
     )
-    cfg = dict(MCFG)
+    cfg = dict(MCFG, **over)
     cfg["vocab_size"] = len(src.vocab)
     mcfg = ModelConfig(arch=arch, **cfg)
     model = get_model(mcfg)
@@ -337,3 +337,24 @@ def test_xe_loop_multistep_respects_max_steps():
     )
     assert int(state.step) == 6
     assert np.isfinite(report.history[-1]["loss"])
+
+
+def test_xe_step_hard_scma():
+    """SURVEY.md §8.3 #1: the hard-selection knob must train, not just
+    decode — straight-through gradients flow through the XE step scan."""
+    src, model, tcfg, state, batch = _setup("editnet", scma_select="hard")
+    step = make_xe_train_step(model, tcfg)
+    enc_before = np.asarray(jax.tree.leaves(state.params.encoder)[0]).copy()
+    scma_before = np.asarray(jax.tree.leaves(state.params.scma)[0]).copy()
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.8, losses
+    # The encoder and the SCMA scorer sit behind the hard gather; the
+    # straight-through estimator must still deliver them gradient.
+    assert not np.array_equal(
+        enc_before, np.asarray(jax.tree.leaves(state.params.encoder)[0]))
+    assert not np.array_equal(
+        scma_before, np.asarray(jax.tree.leaves(state.params.scma)[0]))
