@@ -47,6 +47,32 @@ _CONTRACTIONS = {
 }
 # Clitics PTB splits off the host word: n't, 'll, 're, 've, 'd, 's, 'm.
 _CLITIC_RE = re.compile(r"(n't|'ll|'re|'ve|'d|'s|'m)$")
+# CoreNLP's abbreviation dictionary (PTBLexer kAbbrev — public PTB
+# convention data, encoded by hand): these keep their trailing period as
+# part of the token ("mr." tokenizes as mr., not mr + .), and since
+# pycocoevalcap's PUNCTUATIONS filter only drops a bare ".", the period
+# survives into the metric n-grams. Deliberately conservative: entries
+# whose stem is also a common standalone English word that could simply
+# end a sentence ("no.", "in.") are omitted — CoreNLP disambiguates
+# those from context, which a dictionary cannot.
+_ABBREVIATIONS = frozenset({
+    # titles / honorifics
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "rev.", "hon.", "sr.", "jr.",
+    "st.", "mt.", "messrs.", "mmes.",
+    # military / government ranks
+    "gen.", "col.", "capt.", "sgt.", "lt.", "cmdr.", "adm.", "maj.",
+    "gov.", "sen.", "rep.", "pres.", "supt.", "det.",
+    # months
+    "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.",
+    "sept.", "oct.", "nov.", "dec.",
+    # corporate / institutional
+    "co.", "corp.", "inc.", "ltd.", "bros.", "assn.", "dept.", "univ.",
+    "ph.d.",
+    # addresses
+    "ave.", "blvd.", "rd.", "hwy.", "apt.",
+    # latin / misc
+    "etc.", "vs.", "vol.", "fig.", "approx.", "cf.", "al.", "seq.",
+})
 # Tokens kept whole: numbers/times with internal separators (1,000 / 3.5 /
 # 10:30) and letter-period acronyms (u.s., e.g.) — CoreNLP keeps both.
 _NUMBER_RE = re.compile(r"^\d(?:[\d.,:]*\d)?$")
@@ -73,6 +99,8 @@ def _split_token(tok: str) -> list[str]:
         return [tok]
     if tok in _CONTRACTIONS:
         return list(_CONTRACTIONS[tok])
+    if tok in _ABBREVIATIONS:
+        return [tok]
     if _NUMBER_RE.match(tok) or _ABBREV_RE.match(tok):
         return [tok]
     if _CLITIC_RE.fullmatch(tok):  # a bare clitic has no host to split from
@@ -87,11 +115,18 @@ def _split_token(tok: str) -> list[str]:
     # PUNCTUATIONS filter removes them all.
     m = _TRAILING_PUNCT_RE.search(tok)
     if m and m.start() > 0:
-        tail = m.group(0)
+        head, tail = tok[: m.start()], m.group(0)
+        # Abbreviation followed by more punctuation ("mr.," / "etc.!"):
+        # the dictionary period stays with the head, the rest peels off.
+        if (tail[0] == "." and tail != "..."
+                and head + "." in _ABBREVIATIONS):
+            head, tail = head + ".", tail[1:]
+            if not tail:
+                return [head]
         tails = [tail] if tail == "..." else (
             ["'"] if set(tail) == {"'"} else list(tail)
         )
-        return _split_token(tok[: m.start()]) + tails
+        return _split_token(head) + tails
     # Remaining internal punctuation (e.g. "a,b" typos): split it out.
     parts = [p for p in _INTERNAL_PUNCT_RE.split(tok) if p]
     if len(parts) > 1:

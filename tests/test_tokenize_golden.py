@@ -8,8 +8,11 @@ list. Two deliberate faithfulness notes (see docs/PARITY.md):
 * Bracket tokens survive lowercase ("-lrb-" vs the list's "-LRB-") because
   pycocoevalcap filters the lowercased stream against an uppercase list —
   we replicate that behavior, bug and all.
-* Unknown-abbreviation handling is approximated (letter-period acronyms
-  like "u.s." kept whole; arbitrary abbreviation dictionaries are not).
+* Abbreviation handling: letter-period acronyms ("u.s.") kept whole, and
+  the common CoreNLP abbreviation dictionary (titles, months, etc.) is
+  encoded so "mr." keeps its period; entries whose stem is a common
+  standalone word ("no.", "in.") are deliberately omitted because only
+  CoreNLP's contextual lexer can disambiguate them.
 """
 
 import pytest
@@ -52,6 +55,24 @@ GOLDEN = [
     # multi-punctuation runs
     ("wow!!! really?!", ["wow", "really"]),
     ("wait... what?", ["wait", "what"]),
+    # CoreNLP abbreviation dictionary: the period stays with the token
+    # and survives pycocoevalcap's PUNCTUATIONS filter (only a bare "."
+    # is dropped)
+    ("Mr. Rogers feeds a dog.", ["mr.", "rogers", "feeds", "a", "dog"]),
+    ("Dr. Smith and Mrs. Jones wave.",
+     ["dr.", "smith", "and", "mrs.", "jones", "wave"]),
+    ("books, pens, etc. on a desk",
+     ["books", "pens", "etc.", "on", "a", "desk"]),
+    ("cats vs. dogs", ["cats", "vs.", "dogs"]),
+    ("a sign for St. John Ave. at night",
+     ["a", "sign", "for", "st.", "john", "ave.", "at", "night"]),
+    # abbreviation followed by more punctuation: only the extra peels
+    ("Mr., Mrs., and Ms. smile!", ["mr.", "mrs.", "and", "ms.", "smile"]),
+    # the stem without a period is a plain word
+    ("the dr walks", ["the", "dr", "walks"]),
+    # conservative by design: "no."/"in." stay context-ambiguous and are
+    # NOT in the dictionary (a caption ending "saying no." must not fuse)
+    ("a man saying no.", ["a", "man", "saying", "no"]),
     # whitespace robustness
     ("  two   dogs  ", ["two", "dogs"]),
     ("", []),
@@ -74,6 +95,8 @@ FULL_STREAM = [
     ("it is 3.5.", ["it", "is", "3.5", "."]),
     ("so -- anyway", ["so", "--", "anyway"]),
     ("wait...", ["wait", "..."]),
+    ("mr. t.", ["mr.", "t", "."]),
+    ("etc.!", ["etc.", "!"]),
 ]
 
 
