@@ -63,8 +63,8 @@ def main() -> int:
     ap.add_argument("--max-len", type=int, default=22)
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip the CPU denominator (vs_baseline = 0)")
-    ap.add_argument("--use-pallas", action="store_true",
-                    help="decode through the fused Pallas kernels")
+    ap.add_argument("--head-impl", choices=["xla", "pallas"],
+                    default=None, help="override ModelConfig.head_impl")
     ap.add_argument("--profile", default="",
                     help="dump a jax.profiler trace of the timed region")
     ap.add_argument("--streaming", action="store_true",
@@ -86,8 +86,8 @@ def main() -> int:
     from captionkit.models import get_model
     from captionkit.utils.config import ModelConfig
 
-    mcfg = ModelConfig(arch=args.arch, dropout=0.0,
-                       use_pallas=args.use_pallas, **PAPER)
+    over = {} if args.head_impl is None else {"head_impl": args.head_impl}
+    mcfg = ModelConfig(arch=args.arch, dropout=0.0, **over, **PAPER)
     model = get_model(mcfg)
     params = model.init(jax.random.PRNGKey(0))
 

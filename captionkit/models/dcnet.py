@@ -167,7 +167,7 @@ def _step_hidden(
     """One decode step up to the vocab head (SURVEY.md §4.1 inner loop,
     device-resident)."""
     dt = _cdt(cfg)
-    lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
+    lstm_cell = get_lstm_cell_fn()
     emb = params.embedding[token]  # [B, E]
     x = jnp.concatenate(
         [emb] + _recurrent_contexts(params, cfg, ctx, state.h), axis=-1
@@ -186,7 +186,7 @@ def _recurrent_contexts(
     """The state-dependent decoder inputs: gated text attention context
     (+ optional visual context)."""
     dt = _cdt(cfg)
-    attention = get_attention_fn(cfg.use_pallas)
+    attention = get_attention_fn()
     att_ctx, _ = attention(
         params.attention, ctx.att_keys, ctx.enc_hs, h, ctx.mask,
         compute_dtype=dt,
@@ -292,15 +292,22 @@ def step_topk(
     k: int,
 ) -> tuple[DCNetState, jax.Array, jax.Array, jax.Array]:
     """Decode step with the fused vocab head (captionkit.ops.head)."""
-    from captionkit.ops import pallas_supported
-    from captionkit.ops.head import fused_head_topk
-
     new_state, out = _step_hidden(params, cfg, ctx, state, token, None,
                                   False)
-    vals, idx, lse = fused_head_topk(
-        out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
-        interpret=not pallas_supported(),
-    )
+    if cfg.head_impl == "xla":
+        from captionkit.ops.head import xla_head_topk
+
+        vals, idx, lse = xla_head_topk(
+            out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg)
+        )
+    else:
+        from captionkit.ops import pallas_supported
+        from captionkit.ops.head import fused_head_topk
+
+        vals, idx, lse = fused_head_topk(
+            out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
+            interpret=not pallas_supported(),
+        )
     return new_state, vals, idx, lse
 
 
@@ -315,7 +322,7 @@ def make_model(cfg: ModelConfig) -> ModelDef:
         step=lambda params, ctx, state, token, rng=None, train=False: step(
             params, cfg, ctx, state, token, rng, train
         ),
-        beam_expand=None if cfg.use_pallas else beam_expand,
+        beam_expand=beam_expand,
         step_topk=(
             (lambda params, ctx, state, token, k: step_topk(
                 params, cfg, ctx, state, token, k
@@ -323,8 +330,7 @@ def make_model(cfg: ModelConfig) -> ModelDef:
             if cfg.use_fused_head else None
         ),
         forward_seq=(
-            None if cfg.use_pallas else
-            (lambda params, ctx, state0, tokens_in, rng=None, train=False:
-             forward_seq(params, cfg, ctx, state0, tokens_in, rng, train))
+            lambda params, ctx, state0, tokens_in, rng=None, train=False:
+            forward_seq(params, cfg, ctx, state0, tokens_in, rng, train)
         ),
     )

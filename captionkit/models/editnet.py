@@ -49,7 +49,6 @@ from captionkit.nn.cells import (
 from captionkit.nn.dispatch import (
     get_attention_fn,
     get_copy_lstm_cell_fn,
-    get_lstm_cell_fn,
 )
 from captionkit.nn.masking import length_mask
 from captionkit.utils.config import ModelConfig
@@ -185,39 +184,30 @@ def _step_hidden(
     dt = _cdt(cfg)
     emb = params.embedding[token]  # [B, E]
 
-    # 1. Attention LSTM. The jnp path assembles the gate pre-activations
-    # from a [E+H+H, 4H] matmul over the step-VARYING inputs plus the
-    # hoisted step-invariant v̄ term (ctx.att_zv, computed once in encode;
-    # per-image under grouped beam layout). The Pallas cell kernel takes
-    # the full packed concat, so that path keeps the original form.
-    if cfg.use_pallas:
-        lstm_cell = get_lstm_cell_fn(cfg.use_pallas)
-        x_att = jnp.concatenate([emb, ctx.v_mean, state.h_lang], axis=-1)
-        h_att, c_att = lstm_cell(
-            params.att_lstm, x_att, state.h_att, state.c_att,
-            compute_dtype=dt,
-        )
-    else:
-        E, F = cfg.emb_dim, cfg.feat_dim
-        # Loop-invariant weight assembly — XLA hoists it out of scan/while.
-        w_att = jnp.concatenate(
-            [params.att_lstm.wx[:E], params.att_lstm.wx[E + F:],
-             params.att_lstm.wh], axis=0,
-        ).astype(dt)
-        x_var = jnp.concatenate(
-            [emb, state.h_lang, state.h_att], axis=-1
-        ).astype(dt)
-        z = jnp.dot(x_var, w_att, preferred_element_type=jnp.float32)
-        zv = ctx.att_zv  # [B, 4H]
-        N, B = z.shape[0], zv.shape[0]
-        if N != B:  # grouped beam layout: rows contiguous per image
-            # jnp.repeat of the loop-invariant zv is hoisted out of the
-            # decode while_loop by XLA, and the flat [N,4H] add fuses into
-            # the gate-math fusion. (The earlier reshape(B,G,·)+broadcast
-            # form forced a 42MB/step HBM round-trip of z — reshape.422
-            # in the profile.)
-            zv = jnp.repeat(zv, N // B, axis=0)
-        h_att, c_att = lstm_gates(z + zv + params.att_lstm.b, state.c_att)
+    # 1. Attention LSTM: gate pre-activations from a [E+H+H, 4H] matmul
+    # over the step-VARYING inputs plus the hoisted step-invariant v̄ term
+    # (ctx.att_zv, computed once in encode; per-image under grouped beam
+    # layout).
+    E, F = cfg.emb_dim, cfg.feat_dim
+    # Loop-invariant weight assembly — XLA hoists it out of scan/while.
+    w_att = jnp.concatenate(
+        [params.att_lstm.wx[:E], params.att_lstm.wx[E + F:],
+         params.att_lstm.wh], axis=0,
+    ).astype(dt)
+    x_var = jnp.concatenate(
+        [emb, state.h_lang, state.h_att], axis=-1
+    ).astype(dt)
+    z = jnp.dot(x_var, w_att, preferred_element_type=jnp.float32)
+    zv = ctx.att_zv  # [B, 4H]
+    N, B = z.shape[0], zv.shape[0]
+    if N != B:  # grouped beam layout: rows contiguous per image
+        # jnp.repeat of the loop-invariant zv is hoisted out of the
+        # decode while_loop by XLA, and the flat [N,4H] add fuses into
+        # the gate-math fusion. (The earlier reshape(B,G,·)+broadcast
+        # form forced a 42MB/step HBM round-trip of z — reshape.422
+        # in the profile.)
+        zv = jnp.repeat(zv, N // B, axis=0)
+    h_att, c_att = lstm_gates(z + zv + params.att_lstm.b, state.c_att)
 
     return _finish_step(params, cfg, ctx, state, h_att, c_att, rng, train)
 
@@ -235,8 +225,8 @@ def _finish_step(
     """Steps 2–4 of the decode step (visual attention, SCMA, Copy-LSTM)
     given the already-computed attention-LSTM state."""
     dt = _cdt(cfg)
-    copy_lstm_cell = get_copy_lstm_cell_fn(cfg.use_pallas)
-    attention = get_attention_fn(cfg.use_pallas)
+    copy_lstm_cell = get_copy_lstm_cell_fn()
+    attention = get_attention_fn()
 
     # 2. Visual attention over regions (no mask: all 36 regions valid).
     v_hat, _ = attention(
@@ -376,15 +366,22 @@ def step_topk(
 ) -> tuple[EditNetState, jax.Array, jax.Array, jax.Array]:
     """Decode step with the fused head: returns (state, top-k logit values,
     their vocab ids, log-sum-exp) without materializing [B, V] logits."""
-    from captionkit.ops import pallas_supported
-    from captionkit.ops.head import fused_head_topk
-
     new_state, out = _step_hidden(params, cfg, ctx, state, token, None,
                                   False)
-    vals, idx, lse = fused_head_topk(
-        out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
-        interpret=not pallas_supported(),
-    )
+    if cfg.head_impl == "xla":
+        from captionkit.ops.head import xla_head_topk
+
+        vals, idx, lse = xla_head_topk(
+            out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg)
+        )
+    else:
+        from captionkit.ops import pallas_supported
+        from captionkit.ops.head import fused_head_topk
+
+        vals, idx, lse = fused_head_topk(
+            out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
+            interpret=not pallas_supported(),
+        )
     return new_state, vals, idx, lse
 
 
@@ -399,21 +396,16 @@ def make_model(cfg: ModelConfig) -> ModelDef:
         step=lambda params, ctx, state, token, rng=None, train=False: step(
             params, cfg, ctx, state, token, rng, train
         ),
-        # Grouped-query attention lives in the jnp path only; the fused
-        # Pallas attention expects matching batch dims, so Pallas configs
-        # fall back to full ctx replication.
-        beam_expand=None if cfg.use_pallas else beam_expand,
+        beam_expand=beam_expand,
         step_topk=(
             (lambda params, ctx, state, token, k: step_topk(
                 params, cfg, ctx, state, token, k
             ))
             if cfg.use_fused_head else None
         ),
-        # Training-optimized teacher forcing (jnp path only: the Pallas
-        # cell kernel consumes the full packed input concat).
+        # Training-optimized teacher forcing.
         forward_seq=(
-            None if cfg.use_pallas else
-            (lambda params, ctx, state0, tokens_in, rng=None, train=False:
-             forward_seq(params, cfg, ctx, state0, tokens_in, rng, train))
+            lambda params, ctx, state0, tokens_in, rng=None, train=False:
+            forward_seq(params, cfg, ctx, state0, tokens_in, rng, train)
         ),
     )

@@ -146,13 +146,20 @@ def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
     return 8, 128
 
 
-def _rowmax_argmax(x, base_iota):
-    """(max, lowest-index argmax) along axis 1 — explicit lowest-index
-    tie-break (matches lax.top_k), avoids relying on argmax lowering."""
+_BIGF = 1e9  # sentinel above any fp32-exact index (indices stay < 2^24)
+
+
+def _rowmax_argmax_f(x, base_iota_f):
+    """(max, lowest-index argmax) along axis 1, index arithmetic in fp32 —
+    explicit lowest-index tie-break (matches lax.top_k). fp32 rather than
+    int32 ON PURPOSE: int32 select/min-reduce lower poorly on the v5e VPU
+    (round-3 A/B: the int-index kernel ran 1,387 us/iter vs 1,256 for
+    this fp32 twin at paper shapes — the index machinery was 360us of the
+    501us extraction cost). Exact: indices ≤ vocab+pad < 2^24. Returns
+    (m fp32 [TN], idxf fp32 [TN,TV] masked iota, amf fp32 [TN])."""
     m = jnp.max(x, axis=1)
-    big = jnp.int32(2**30)
-    idx = jnp.where(x == m[:, None], base_iota, big)
-    return m, jnp.min(idx, axis=1)
+    idxf = jnp.where(x == m[:, None], base_iota_f, _BIGF)
+    return m, idxf, jnp.min(idxf, axis=1)
 
 
 def _make_head_kernel(k: int, TV: int):
@@ -185,16 +192,20 @@ def _make_head_kernel(k: int, TV: int):
         run_m[...] = jnp.broadcast_to(m_new, run_m.shape)
         run_s[...] = jnp.broadcast_to(s_new, run_s.shape)
 
-        # -- tile top-k (k max/lowest-index passes) --------------------------
+        # -- tile top-k (k max/lowest-index passes, fp32 indices) ------------
         tn = logits.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tn, TV), 1)
+        colf = jax.lax.broadcasted_iota(jnp.int32, (tn, TV), 1).astype(
+            jnp.float32
+        )
         tile = logits
-        t_vals, t_idx = [], []
+        t_vals, t_idxf = [], []
         for _ in range(k):
-            m, am = _rowmax_argmax(tile, col)
+            m, idxf, amf = _rowmax_argmax_f(tile, colf)
             t_vals.append(m)
-            t_idx.append(am + j * TV)
-            tile = jnp.where(col == am[:, None], _NEG, tile)
+            t_idxf.append(amf + jnp.float32(j * TV))
+            # idxf == amf picks exactly the winning element (ties in the
+            # value resolve through the iota, which is unique per column)
+            tile = jnp.where(idxf == amf[:, None], _NEG, tile)
 
         # -- merge running top-k with tile top-k -----------------------------
         # Order matters for ties: running entries (earlier tiles / lower
@@ -203,15 +214,17 @@ def _make_head_kernel(k: int, TV: int):
             [run_vals[...][:, :k]] + [v[:, None] for v in t_vals], axis=1
         )  # [TN, 2k]
         cand_idx = jnp.concatenate(
-            [run_idx[...][:, :k]] + [i[:, None] for i in t_idx], axis=1
+            [run_idx[...][:, :k]] + [i[:, None] for i in t_idxf], axis=1
         )
-        pos = jax.lax.broadcasted_iota(jnp.int32, cand_vals.shape, 1)
+        posf = jax.lax.broadcasted_iota(
+            jnp.int32, cand_vals.shape, 1
+        ).astype(jnp.float32)
         new_vals, new_idx = [], []
         for _ in range(k):
-            m, am = _rowmax_argmax(cand_vals, pos)
-            sel = pos == am[:, None]
+            m, pf, amf = _rowmax_argmax_f(cand_vals, posf)
+            sel = pf == amf[:, None]
             new_vals.append(m)
-            new_idx.append(jnp.sum(jnp.where(sel, cand_idx, 0), axis=1))
+            new_idx.append(jnp.sum(jnp.where(sel, cand_idx, 0.0), axis=1))
             cand_vals = jnp.where(sel, _NEG, cand_vals)
         run_vals[...] = jnp.pad(
             jnp.stack(new_vals, axis=1),
@@ -226,7 +239,9 @@ def _make_head_kernel(k: int, TV: int):
         @pl.when(j == nj - 1)
         def _():
             vals_out[...] = run_vals[...][:, : vals_out.shape[1]]
-            idx_out[...] = run_idx[...][:, : idx_out.shape[1]]
+            idx_out[...] = run_idx[...][:, : idx_out.shape[1]].astype(
+                jnp.int32
+            )
             m = run_m[...][:, :1]
             s = run_s[...][:, :1]
             lse_out[...] = jnp.broadcast_to(
@@ -255,16 +270,18 @@ def _make_sweep_kernel(k: int, Vp: int):
         s = jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True)
         lse_out[...] = m + jnp.log(s)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (tn, Vp), 1)
+        colf = jax.lax.broadcasted_iota(jnp.int32, (tn, Vp), 1).astype(
+            jnp.float32
+        )
         tile = logits
         vs, ids = [], []
         for _ in range(k):
-            mx, am = _rowmax_argmax(tile, col)
+            mx, idxf, amf = _rowmax_argmax_f(tile, colf)
             vs.append(mx)
-            ids.append(am)
-            tile = jnp.where(col == am[:, None], _NEG, tile)
+            ids.append(amf)
+            tile = jnp.where(idxf == amf[:, None], _NEG, tile)
         vals_out[...] = jnp.stack(vs, axis=1)
-        idx_out[...] = jnp.stack(ids, axis=1)
+        idx_out[...] = jnp.stack(ids, axis=1).astype(jnp.int32)
 
     return kernel
 
@@ -372,13 +389,46 @@ def fused_head_topk(
         ],
         scratch_shapes=[
             pltpu.VMEM((TN, kcols), jnp.float32),  # run_vals
-            pltpu.VMEM((TN, kcols), jnp.int32),  # run_idx
+            pltpu.VMEM((TN, kcols), jnp.float32),  # run_idx (fp32, exact)
             pltpu.VMEM((TN, 128), jnp.float32),  # run_m
             pltpu.VMEM((TN, 128), jnp.float32),  # run_s
         ],
         interpret=interpret,
     )(h_p, w_p, b_p)
     return vals[:N], idx[:N], lse[:N, 0]
+
+
+def xla_head_topk(
+    h: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    k: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Same contract as fused_head_topk, in plain XLA: bf16 MXU matmul ->
+    fp32 logits -> per-row lax.top_k + logsumexp.
+
+    Round-3 measurements (examples/bench_head_variants.py, paper shapes
+    [2560,1024]x[1024,9490] k=5, scan-chained on a v5e): 834us/iter vs
+    the Pallas kernel's 1387 in ISOLATION — round 2's "XLA tail = 2.64ms"
+    was for the old single-stage formulation (materialized log_softmax +
+    top_k over the [B, K*V] concat) and went stale when beam search moved
+    to exact per-row top-K. In the FULL beam-decode program, however,
+    this path's ~97MB/step logits round-trip crowds the MSA feature
+    cache and it LOSES: 6,966-6,974 captions/s vs 7,144 with the kernel
+    (measured at both 48MB and default scoped-VMEM). Kept as a
+    configurable (ModelConfig.head_impl="xla") — the trade flips when
+    context traffic is small or vocab is huge."""
+    dt = compute_dtype
+    logits = (
+        jnp.dot(h.astype(dt), w.astype(dt),
+                preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)
+    )
+    vals, idx = jax.lax.top_k(logits, k)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    return vals, idx.astype(jnp.int32), lse
 
 
 def reference_head_topk(h, w, b, *, k):

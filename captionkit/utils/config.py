@@ -40,13 +40,27 @@ class ModelConfig:
     dcnet_use_visual: bool = False
     # Compute dtype for matmuls ("bfloat16" rides the MXU; params stay fp32).
     compute_dtype: str = "bfloat16"
-    # Use fused Pallas kernels for the hot cells where available.
-    use_pallas: bool = False
+    # (Round 3: the former `use_pallas` cell-kernel flag is retired from
+    # the config surface. The fused cell/attention kernels remain in
+    # captionkit.ops as parity-tested alternates reachable through
+    # nn.dispatch + examples/bench_cell_kernels.py, but every reachable
+    # model config now composes the grouped-query beam layout and
+    # forward_seq — enabling the cell kernels forfeited both and was
+    # strictly dominated (docs/DESIGN.md "Pallas kernels" section).)
     # Fused vocab head (matmul + online log-sum-exp + per-row top-k in one
     # Pallas kernel, captionkit.ops.head) for beam decode: the XLA vocab
     # tail (fc -> log_softmax -> +scores -> lax.top_k over K*V) measured
     # 2.6ms/step vs 1.4ms fused at paper scale. Interpret-mode on CPU.
     use_fused_head: bool = True
+    # Which top-k head step_topk uses: "pallas" (default — the fused
+    # kernel, never materializes [N, V] logits in HBM) or "xla" (bf16
+    # matmul + per-row lax.top_k + logsumexp). Round-3 measurements: the
+    # XLA path wins the ISOLATED comparison (834 vs 1,387 us/iter
+    # scan-chained at paper shapes) but LOSES inside the full beam-decode
+    # program (6,966-6,974 vs 7,144 captions/s, both scoped-VMEM
+    # settings) — its 97MB/step logits round-trip crowds the MSA feature
+    # cache the decode program depends on. See ops/head.py.
+    head_impl: str = "pallas"
 
     @property
     def pad_id(self) -> int:
