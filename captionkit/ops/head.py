@@ -34,15 +34,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile budget under the DEFAULT 16MB per-program scoped-VMEM limit, so
-# the kernel compiles inside any user's plain jax.jit. Round-2 full-
-# program A/Bs found this is ALSO the fastest measured configuration:
-# with the decode programs' 48MB scoped rebalance (utils/tpuopts.py) the
-# (512,512) pick reaches 7,272 captions/s, while forcing bigger tiles
-# via a per-kernel vmem_limit_bytes reservation STARVES the program's
-# memory-space-assignment feature cache (64M limit: 5,302; 28M: 6,911).
-# Bigger tiles remain reachable via CAPTIONKIT_HEAD_TILES for programs
-# that raise the scoped limit themselves.
-VMEM_BUDGET = 10 * 1024 * 1024
+# the kernel compiles inside any user's plain jax.jit. 12MB admits
+# (512,1024) at paper scale (~10.5MB estimated), which the round-3
+# in-program A/B measured FASTEST once the fp32-index extraction landed:
+# 7,894 captions/s vs 7,462 at (512,512) — halving the vocab-tile count
+# halves the W re-streams and the cross-tile merges, and the cheaper
+# extraction no longer starves MSA the way the round-2 (int-index)
+# kernel did at big tiles. (History: round 2 measured big tiles SLOWER
+# and pinned (512,512); that result was real but specific to the old
+# extraction's VPU pressure.) CAPTIONKIT_HEAD_TILES still overrides.
+VMEM_BUDGET = 12 * 1024 * 1024
 _NEG = -1e30
 
 # Perf-experiment overrides, read ONCE at import: fused_head_topk is
