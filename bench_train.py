@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--scan-k", type=int, default=8)
     ap.add_argument("--single-dispatch", action="store_true",
                     help="also measure the step-per-dispatch floor")
+    ap.add_argument("--deferred-bwd", dest="deferred_bwd",
+                    action="store_true",
+                    help="hand-written deferred-dW backward "
+                         "(models/editnet_backward.py)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -78,7 +82,8 @@ def main() -> int:
     from captionkit.train.xe import make_xe_train_multistep, make_xe_train_step
     from captionkit.utils.config import ModelConfig, TrainConfig
 
-    mcfg = ModelConfig(arch=args.arch, dropout=0.5, **PAPER)
+    mcfg = ModelConfig(arch=args.arch, dropout=0.5,
+                       deferred_backward=args.deferred_bwd, **PAPER)
     model = get_model(mcfg)
     tcfg = TrainConfig(learning_rate=4e-4, donate_state=True)
     mesh = make_mesh((-1,), ("data",))

@@ -303,6 +303,47 @@ def forward_seq(
         [params.att_lstm.wx[E + F:], params.att_lstm.wh], axis=0
     ).astype(dt)  # [(H_lang + H_att), 4H]
 
+    if cfg.deferred_backward and cfg.scma_select == "soft":
+        from captionkit.models.editnet_backward import _recurrent_seq
+
+        static = (cfg.compute_dtype, float(cfg.dropout), bool(train), T)
+        ins = {
+            "w_rec_lang": params.att_lstm.wx[E + F:],
+            "w_rec_att": params.att_lstm.wh,
+            "lang_wx": params.lang_lstm.base.wx,
+            "lang_wh": params.lang_lstm.base.wh,
+            "lang_b": params.lang_lstm.base.b,
+            "lang_wrx": params.lang_lstm.wrx,
+            "lang_wrh": params.lang_lstm.wrh,
+            "lang_wrc": params.lang_lstm.wrc,
+            "lang_br": params.lang_lstm.br,
+            "vis_wq": params.vis_attention.w_q,
+            "vis_v": params.vis_attention.v,
+            "vis_b": params.vis_attention.b,
+            "gate_w": params.vis_gate_w,
+            "gate_b": params.vis_gate_b,
+            "scma_wq": params.scma.w_q,
+            "scma_v": params.scma.v,
+            "scma_b": params.scma.b,
+            "vis_keys": ctx.vis_keys,
+            "features": ctx.features,
+            "scma_keys": ctx.scma_keys,
+            "enc_cs": ctx.enc_cs,
+            "mask": ctx.mask,
+            "state0": (state0.h_att, state0.c_att,
+                       state0.h_lang, state0.c_lang),
+            "zx": jnp.swapaxes(z_x, 0, 1),
+            "rng": base_rng,
+        }
+        outs = jnp.swapaxes(_recurrent_seq(static, ins), 0, 1)
+        return (
+            jnp.einsum(
+                "bth,hv->btv", outs.astype(dt), params.fc_w.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            + params.fc_b
+        ).astype(jnp.float32)
+
     def body(carry, inp):
         state = carry
         z_t, t = inp  # [B, 4H], []

@@ -52,6 +52,16 @@ class ModelConfig:
     # tail (fc -> log_softmax -> +scores -> lax.top_k over K*V) measured
     # 2.6ms/step vs 1.4ms fused at paper scale. Interpret-mode on CPU.
     use_fused_head: bool = True
+    # Hand-written deferred-dW backward for EditNet teacher forcing
+    # (models/editnet_backward.py): the backward scan emits per-step
+    # matmul cotangents and computes every big dW as one batched einsum,
+    # removing ~5.7GB/step of per-timestep gradient-accumulate HBM
+    # traffic. Measured: 21.36 -> 25.75 steps/s at B=256 scan_k=8 (the
+    # stop-gradient ceiling is 26.1). Gradients match autodiff to 1e-15
+    # at f64 (tests/test_deferred_backward.py); fp32/bf16 differ only in
+    # summation order. Soft-SCMA EditNet only; hard mode and DCNet fall
+    # back to the autodiff scan.
+    deferred_backward: bool = True
     # Which top-k head step_topk uses: "pallas" (default — the fused
     # kernel, never materializes [N, V] logits in HBM) or "xla" (bf16
     # matmul + per-row lax.top_k + logsumexp). Round-3 measurements: the
