@@ -237,6 +237,34 @@ def forward_seq(
         [params.decoder.wx[E:], params.decoder.wh], axis=0
     ).astype(dt)
 
+    if cfg.dcnet_deferred_backward and not cfg.dcnet_use_visual:
+        from captionkit.models.dcnet_backward import dcnet_recurrent_seq
+
+        static = (cfg.compute_dtype, float(cfg.dropout), bool(train), T)
+        ins = {
+            "w_rec_ctx": params.decoder.wx[E:],
+            "w_rec_h": params.decoder.wh,
+            "att_wq": params.attention.w_q,
+            "att_v": params.attention.v,
+            "att_b": params.attention.b,
+            "gate_w": params.gate_w,
+            "gate_b": params.gate_b,
+            "att_keys": ctx.att_keys,
+            "enc_hs": ctx.enc_hs,
+            "mask": ctx.mask,
+            "state0": (state0.h, state0.c),
+            "zx": jnp.swapaxes(z_x, 0, 1),
+            "rng": base_rng,
+        }
+        outs = jnp.swapaxes(dcnet_recurrent_seq(static, ins), 0, 1)
+        return (
+            jnp.einsum(
+                "bth,hv->btv", outs.astype(dt), params.fc_w.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            + params.fc_b
+        ).astype(jnp.float32)
+
     def body(carry, inp):
         state = carry
         z_t, t = inp

@@ -62,6 +62,13 @@ class ModelConfig:
     # summation order. Soft-SCMA EditNet only; hard mode and DCNet fall
     # back to the autodiff scan.
     deferred_backward: bool = True
+    # DCNet's sibling deferred backward (models/dcnet_backward.py) is
+    # built and exactness-tested but measured a wash at paper scale
+    # (51.9 vs 52.6 steps/s at B=256): DCNet's in-scan accumulates are
+    # ~3x smaller and its step 2.4x faster, so the deferral's stash and
+    # recompute overheads cancel the savings. Off by default; the flag
+    # documents the measured negative rather than hiding the machinery.
+    dcnet_deferred_backward: bool = False
     # Which top-k head step_topk uses: "pallas" (default — the fused
     # kernel, never materializes [N, V] logits in HBM) or "xla" (bf16
     # matmul + per-row lax.top_k + logsumexp). Round-3 measurements: the
