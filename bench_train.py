@@ -61,9 +61,11 @@ def main() -> int:
     ap.add_argument("--single-dispatch", action="store_true",
                     help="also measure the step-per-dispatch floor")
     ap.add_argument("--deferred-bwd", dest="deferred_bwd",
-                    action="store_true",
-                    help="hand-written deferred-dW backward "
-                         "(models/editnet_backward.py)")
+                    choices=["on", "off"], default=None,
+                    help="force the hand-written deferred-dW backward on/off "
+                         "(models/editnet_backward.py, dcnet_backward.py); "
+                         "default: the production ModelConfig default for "
+                         "the chosen arch")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -82,8 +84,15 @@ def main() -> int:
     from captionkit.train.xe import make_xe_train_multistep, make_xe_train_step
     from captionkit.utils.config import ModelConfig, TrainConfig
 
-    mcfg = ModelConfig(arch=args.arch, dropout=0.5,
-                       deferred_backward=args.deferred_bwd, **PAPER)
+    # Default: benchmark the shipped ModelConfig defaults. --deferred-bwd
+    # on/off forces the A/B for the chosen arch (each arch reads its own
+    # flag: editnet -> deferred_backward, dcnet -> dcnet_deferred_backward).
+    bwd_kw = {}
+    if args.deferred_bwd is not None:
+        key = ("deferred_backward" if args.arch == "editnet"
+               else "dcnet_deferred_backward")
+        bwd_kw[key] = args.deferred_bwd == "on"
+    mcfg = ModelConfig(arch=args.arch, dropout=0.5, **bwd_kw, **PAPER)
     model = get_model(mcfg)
     tcfg = TrainConfig(learning_rate=4e-4, donate_state=True)
     mesh = make_mesh((-1,), ("data",))

@@ -144,6 +144,31 @@ def run_parity_gate(
     model = get_model(cfg.model)
     eval_ds = dataset.eval_view() if dataset.target is not None else dataset
 
+    # Our greedy tokens over the first n eval images — shared by checks 2
+    # (vs the torch twin) and 2b (vs published captions): computed once.
+    n = eval_ds.size if max_images is None else min(max_images,
+                                                    eval_ds.size)
+    ours = None
+
+    def our_greedy():
+        nonlocal ours
+        if ours is None:
+            feats_j = (None if eval_ds.features is None else
+                       jnp.asarray(np.asarray(eval_ds.features[:n],
+                                              np.float32)))
+            ctx = model.encode(
+                params, feats_j,
+                jnp.asarray(np.asarray(eval_ds.existing[:n], np.int32)),
+                jnp.asarray(np.asarray(eval_ds.existing_len[:n],
+                                       np.int32)),
+            )
+            ours = np.asarray(
+                greedy_decode(model, params, ctx, start_id=vocab.start,
+                              end_id=vocab.end,
+                              max_len=cfg.decode.max_decode_len).tokens
+            )
+        return ours
+
     # -- 2. greedy-identical ------------------------------------------------
     twin, reason = _build_twin(cfg.model, raw, name_map)
     if twin is None:
@@ -151,23 +176,12 @@ def run_parity_gate(
             "status": "skipped", "reason": reason,
         }
     else:
-        n = eval_ds.size if max_images is None else min(max_images,
-                                                        eval_ds.size)
         feats = (np.asarray(eval_ds.features[:n], np.float32)
                  if eval_ds.features is not None else None)
         existing = np.asarray(eval_ds.existing[:n])
         lengths = np.asarray(eval_ds.existing_len[:n])
         max_len = cfg.decode.max_decode_len
-        ctx = model.encode(
-            params,
-            None if feats is None else jnp.asarray(feats),
-            jnp.asarray(existing.astype(np.int32)),
-            jnp.asarray(lengths.astype(np.int32)),
-        )
-        ours = np.asarray(
-            greedy_decode(model, params, ctx, start_id=vocab.start,
-                          end_id=vocab.end, max_len=max_len).tokens
-        )
+        ours = our_greedy()
         twin_seqs = _twin_greedy(
             twin, cfg.model.arch, feats, existing, lengths,
             start_id=vocab.start, end_id=vocab.end, max_len=max_len,
@@ -187,32 +201,25 @@ def run_parity_gate(
 
     # -- 2b. greedy vs published captions -----------------------------------
     if expected_captions is not None:
-        n = eval_ds.size if max_images is None else min(max_images,
-                                                        eval_ds.size)
-        feats = (None if eval_ds.features is None
-                 else jnp.asarray(np.asarray(eval_ds.features[:n],
-                                             np.float32)))
-        ctx = model.encode(
-            params, feats,
-            jnp.asarray(np.asarray(eval_ds.existing[:n], np.int32)),
-            jnp.asarray(np.asarray(eval_ds.existing_len[:n], np.int32)),
-        )
-        ours = np.asarray(
-            greedy_decode(model, params, ctx, start_id=vocab.start,
-                          end_id=vocab.end,
-                          max_len=cfg.decode.max_decode_len).tokens
-        )
+        seqs = our_greedy()
         compared = 0
         mismatches = []
         for b in range(n):
-            img = int(np.asarray(eval_ds.image_index[b]))
+            # Published files are keyed by the ORIGINAL image id (e.g.
+            # COCO ids); prepared datasets carry that map in ds.image_ids.
+            # Synthetic/unprepared datasets fall back to the dense index.
+            dense = int(np.asarray(eval_ds.image_index[b]))
+            if eval_ds.image_ids is not None:
+                img = int(eval_ds.image_ids[dense])
+            else:
+                img = dense
             want = expected_captions.get(img)
             if want is None:
                 want = expected_captions.get(str(img))
             if want is None:
                 continue
             compared += 1
-            got = vocab.decode_to_string(ours[b])
+            got = vocab.decode_to_string(seqs[b])
             if got != want:
                 mismatches.append({"image": img, "ours": got,
                                    "published": want})

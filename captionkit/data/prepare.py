@@ -224,4 +224,5 @@ def load_prepared_split(
         [id_to_dense[i] for i in image_ids], np.int32
     )
     ds.references = [refs_by_id[str(i)] for i in uniq]
+    ds.image_ids = np.asarray(uniq, np.int64)
     return ds

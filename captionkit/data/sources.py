@@ -58,6 +58,11 @@ class CaptionDataset:
     vocab: Vocab
     # Tokenized reference captions per image, for metric eval / SCST reward.
     references: Optional[list[list[list[str]]]] = None
+    # Original (e.g. COCO) image id per dense image index, when known —
+    # prepared splits carry these so eval artifacts and the parity gate's
+    # published-captions check key by the REAL image ids, not the dense
+    # per-split order.
+    image_ids: Optional[np.ndarray] = None  # [N_img] int64
 
     @classmethod
     def from_reference_files(
@@ -141,6 +146,7 @@ class CaptionDataset:
             image_index=self.image_index[first],
             vocab=self.vocab,
             references=self.references,
+            image_ids=self.image_ids,
         )
 
     def batches(

@@ -53,25 +53,28 @@ _CLITIC_RE = re.compile(r"(n't|'ll|'re|'ve|'d|'s|'m)$")
 # pycocoevalcap's PUNCTUATIONS filter only drops a bare ".", the period
 # survives into the metric n-grams. Deliberately conservative: entries
 # whose stem is also a common standalone English word that could simply
-# end a sentence ("no.", "in.") are omitted — CoreNLP disambiguates
-# those from context, which a dictionary cannot.
+# end a sentence ("no.", "in.", "fig.", "gen.", "rep.", "mar.", "col.",
+# "apt.") are omitted — CoreNLP disambiguates those from context, which
+# a dictionary cannot, and in the caption domain the standalone-word
+# reading ("a man holding a fig.") is far likelier than the
+# abbreviation one.
 _ABBREVIATIONS = frozenset({
     # titles / honorifics
     "mr.", "mrs.", "ms.", "dr.", "prof.", "rev.", "hon.", "sr.", "jr.",
     "st.", "mt.", "messrs.", "mmes.",
     # military / government ranks
-    "gen.", "col.", "capt.", "sgt.", "lt.", "cmdr.", "adm.", "maj.",
-    "gov.", "sen.", "rep.", "pres.", "supt.", "det.",
+    "capt.", "sgt.", "lt.", "cmdr.", "adm.", "maj.",
+    "gov.", "sen.", "pres.", "supt.", "det.",
     # months
-    "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.",
+    "jan.", "feb.", "apr.", "jun.", "jul.", "aug.", "sep.",
     "sept.", "oct.", "nov.", "dec.",
     # corporate / institutional
     "co.", "corp.", "inc.", "ltd.", "bros.", "assn.", "dept.", "univ.",
     "ph.d.",
     # addresses
-    "ave.", "blvd.", "rd.", "hwy.", "apt.",
+    "ave.", "blvd.", "rd.", "hwy.",
     # latin / misc
-    "etc.", "vs.", "vol.", "fig.", "approx.", "cf.", "al.", "seq.",
+    "etc.", "vs.", "vol.", "approx.", "cf.", "al.", "seq.",
 })
 # Tokens kept whole: numbers/times with internal separators (1,000 / 3.5 /
 # 10:30) and letter-period acronyms (u.s., e.g.) — CoreNLP keeps both.
@@ -116,10 +119,10 @@ def _split_token(tok: str) -> list[str]:
     m = _TRAILING_PUNCT_RE.search(tok)
     if m and m.start() > 0:
         head, tail = tok[: m.start()], m.group(0)
-        # Abbreviation followed by more punctuation ("mr.," / "etc.!"):
-        # the dictionary period stays with the head, the rest peels off.
-        if (tail[0] == "." and tail != "..."
-                and head + "." in _ABBREVIATIONS):
+        # Abbreviation followed by more punctuation ("mr.," / "etc.!" /
+        # "mr..."): the dictionary period stays with the head, the rest
+        # peels off (an ellipsis loses its first dot: "mr..." -> mr. . .).
+        if tail[0] == "." and head + "." in _ABBREVIATIONS:
             head, tail = head + ".", tail[1:]
             if not tail:
                 return [head]

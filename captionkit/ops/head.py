@@ -116,11 +116,10 @@ def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
     Mosaic compile error."""
     if _ENV_TILES is not None:
         tn, tv = _ENV_TILES
-        est = (
-            2 * (tn * H + H * tv + tv) * itemsize
-            + tn * tv * 4
-            + tn * (4 * _round_up(k, 128) + 3 * 128) * 4
-        )
+        # Same formula as the budget walk below (outs double-buffered,
+        # run_m/run_s included, fp32 bias block) — an estimate that
+        # undercounts would skip the warning exactly when it matters.
+        est = _vmem_cost(tn, tv, H, k, itemsize)
         if est > VMEM_BUDGET:
             import warnings
 
@@ -135,16 +134,21 @@ def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
                    (256, 512),
                    (256, 256), (128, 256), (128, 128), (64, 128),
                    (32, 128), (16, 128), (8, 128)):
-        h_blk = tn * H * itemsize
-        w_blk = H * tv * itemsize
-        b_blk = tv * 4
-        logits = tn * tv * 4
-        scratch = tn * (2 * _round_up(k, 128) + 2 * 128) * 4
-        outs = tn * (2 * _round_up(k, 128) + 128) * 4
-        total = 2 * (h_blk + w_blk + b_blk + outs) + logits + scratch
-        if total <= VMEM_BUDGET:
+        if _vmem_cost(tn, tv, H, k, itemsize) <= VMEM_BUDGET:
             return min(tn, _round_up(N, 8)), min(tv, _round_up(V, 128))
     return 8, 128
+
+
+def _vmem_cost(tn: int, tv: int, H: int, k: int, itemsize: int) -> int:
+    """VMEM bytes a (TN, TV) tiling needs: double-buffered h/w/b blocks and
+    outputs, fp32 logits tile, running top-k + m/s scratch."""
+    h_blk = tn * H * itemsize
+    w_blk = H * tv * itemsize
+    b_blk = tv * 4
+    logits = tn * tv * 4
+    scratch = tn * (2 * _round_up(k, 128) + 2 * 128) * 4
+    outs = tn * (2 * _round_up(k, 128) + 128) * 4
+    return 2 * (h_blk + w_blk + b_blk + outs) + logits + scratch
 
 
 _BIGF = 1e9  # sentinel above any fp32-exact index (indices stay < 2^24)

@@ -79,6 +79,21 @@ class ModelConfig:
     # cache the decode program depends on. See ops/head.py.
     head_impl: str = "pallas"
 
+    def __post_init__(self) -> None:
+        # Validate the string-enum knobs up front: the dispatch sites test
+        # `== "xla"` / `== "soft"`-style equality, so an unknown value
+        # (typo, hand-edited JSON) would otherwise silently select the
+        # other branch instead of erroring like DecodeConfig.method does.
+        if self.arch not in ("dcnet", "editnet"):
+            raise ValueError(f"ModelConfig.arch must be 'dcnet' or "
+                             f"'editnet', got {self.arch!r}")
+        if self.scma_select not in ("soft", "hard"):
+            raise ValueError(f"ModelConfig.scma_select must be 'soft' or "
+                             f"'hard', got {self.scma_select!r}")
+        if self.head_impl not in ("pallas", "xla"):
+            raise ValueError(f"ModelConfig.head_impl must be 'pallas' or "
+                             f"'xla', got {self.head_impl!r}")
+
     @property
     def pad_id(self) -> int:
         return 0

@@ -75,3 +75,19 @@ def test_cli_bad_set_exits():
     with pytest.raises(SystemExit):
         main(["decode", "--config", "editnet_greedy", "--synthetic",
               "--set", "nonsense"])
+
+
+def test_model_config_rejects_unknown_enum_values():
+    # The dispatch sites test equality against one branch ("xla", "soft"),
+    # so unknown values would silently select the other; ModelConfig now
+    # front-loads the check (review round-3 finding).
+    import pytest as _pytest
+
+    from captionkit.utils.config import ModelConfig
+
+    for kw in ({"head_impl": "XLA"}, {"head_impl": "cpu"},
+               {"scma_select": "Hard"}, {"arch": "lstm"}):
+        with _pytest.raises(ValueError):
+            ModelConfig(**kw)
+    # the valid spellings still construct
+    ModelConfig(head_impl="xla", scma_select="hard", arch="dcnet")

@@ -245,3 +245,49 @@ def test_parity_gate_fits_hard_scma_checkpoint(tmp_path, synth):
     assert report["checks"]["greedy_expected"]["status"] == "pass", report
     assert report["checks"]["greedy_expected"]["compared"] == 6
     assert report["ok"] is True
+
+
+def test_parity_gate_expected_captions_key_by_real_image_ids(
+        tmp_path, synth, twin):
+    """Published caption files are keyed by ORIGINAL image ids (e.g. COCO
+    ids) — prepared datasets carry that map in ds.image_ids and the gate
+    must use it, not the dense per-split index (round-3 review: with real
+    prepared data the dense keying never matched and the check always
+    failed on its primary intended input)."""
+    import dataclasses as dc
+
+    from captionkit.convert.gate import _twin_greedy, run_parity_gate
+
+    ckpt = tmp_path / "ckpt.pth"
+    torch.save(twin.state_dict(), ckpt)
+    cfg = _gate_cfg(len(synth.vocab))
+
+    base = synth.dataset
+    n_img = int(np.asarray(base.eval_view().image_index).shape[0])
+    coco_ids = np.asarray([100000 + 7 * b for b in range(n_img)], np.int64)
+    ds = dc.replace(base, image_ids=coco_ids)
+
+    ev = ds.eval_view()
+    vocab = synth.vocab
+    seqs = _twin_greedy(
+        twin, "editnet",
+        np.asarray(ev.features, np.float32), np.asarray(ev.existing),
+        np.asarray(ev.existing_len),
+        start_id=vocab.start, end_id=vocab.end, max_len=12,
+    )
+    published = {int(coco_ids[b]): vocab.decode_to_string(seq)
+                 for b, seq in enumerate(seqs)}
+
+    report = run_parity_gate(str(ckpt), cfg, ds,
+                             expected_captions=published)
+    chk = report["checks"]["greedy_expected"]
+    assert chk["status"] == "pass", chk
+    assert chk["compared"] == n_img
+
+    # Without the id map the same real-id-keyed file matches nothing, and
+    # zero comparisons must read as failure, not vacuous success.
+    report = run_parity_gate(str(ckpt), cfg, base,
+                             expected_captions=published)
+    chk = report["checks"]["greedy_expected"]
+    assert chk["status"] == "fail"
+    assert chk["compared"] == 0

@@ -73,6 +73,13 @@ GOLDEN = [
     # conservative by design: "no."/"in." stay context-ambiguous and are
     # NOT in the dictionary (a caption ending "saying no." must not fuse)
     ("a man saying no.", ["a", "man", "saying", "no"]),
+    # likewise entries whose stem is a common standalone word were pruned
+    # from the dictionary (round-3 review): a sentence-final period after
+    # them splits off and drops like any other word's
+    ("a man holding a fig.", ["a", "man", "holding", "a", "fig"]),
+    ("a sales rep. waves", ["a", "sales", "rep", "waves"]),
+    ("a gen. store on a corner.", ["a", "gen", "store", "on", "a",
+                                   "corner"]),
     # whitespace robustness
     ("  two   dogs  ", ["two", "dogs"]),
     ("", []),
@@ -97,6 +104,10 @@ FULL_STREAM = [
     ("wait...", ["wait", "..."]),
     ("mr. t.", ["mr.", "t", "."]),
     ("etc.!", ["etc.", "!"]),
+    # abbreviation + ellipsis: the dictionary period stays with the head
+    # and the remaining dots peel as single periods (round-3 review)
+    ("mr...", ["mr.", ".", "."]),
+    ("etc....", ["etc.", "..."]),
 ]
 
 
