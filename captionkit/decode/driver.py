@@ -171,9 +171,16 @@ def decode_split(
         else 0.0,
     }
     if results_path:
+        # The in-memory dict stays keyed by the dense per-split index
+        # (references/SCST lookups use it), but the written file is the
+        # cococaption interchange format (SURVEY.md §4.3) — external
+        # scorers key by the ORIGINAL image id, which prepared splits
+        # carry in dataset.image_ids.
+        ids = dataset.image_ids
         with open(results_path, "w") as f:
             json.dump(
-                [{"image_id": k, "caption": v}
+                [{"image_id": int(ids[k]) if ids is not None else k,
+                  "caption": v}
                  for k, v in sorted(hypotheses.items())],
                 f, indent=0,
             )

@@ -75,6 +75,10 @@ def test_prepare_and_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         ds.image_index, np.repeat(np.arange(5), 2)
     )
+    # The original cocoids survive prepare->load (fixture assigns 100..):
+    # results JSONs and the parity gate key external artifacts by these.
+    np.testing.assert_array_equal(ds.image_ids, np.arange(100, 105))
+    assert ds.eval_view().image_ids is ds.image_ids
     b = next(ds.batches(4))
     assert b.features.shape == (4, 4, 8)
     assert b.target is not None

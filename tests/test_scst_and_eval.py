@@ -144,6 +144,22 @@ def test_decode_split_and_results_json(tmp_path):
     assert {d["image_id"] for d in dumped} == set(range(10))
     assert all("caption" in d for d in dumped)
 
+    # Prepared splits carry original (e.g. COCO) image ids: the written
+    # cococaption-format file must key by those — external scorers match
+    # them against annotation files — while the returned dict stays
+    # dense-keyed for references/SCST lookups.
+    import dataclasses as dc
+
+    coco_ids = np.asarray([500000 + 3 * i for i in range(10)], np.int64)
+    ev_ids = dc.replace(ev, image_ids=coco_ids)
+    path2 = str(tmp_path / "results_ids.json")
+    hyps2, _ = decode_split(model, state.params, ev_ids, dcfg,
+                            results_path=path2)
+    assert set(hyps2) == set(range(10))
+    with open(path2) as f:
+        dumped2 = json.load(f)
+    assert {d["image_id"] for d in dumped2} == set(int(i) for i in coco_ids)
+
 
 def test_evaluate_split_scores():
     src, mcfg, model, tcfg, state = _setup(num_images=8)
