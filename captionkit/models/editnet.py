@@ -165,8 +165,20 @@ def init_state(params: EditNetParams, ctx: EditNetContext) -> EditNetState:
 
 def beam_expand(ctx: EditNetContext, k: int) -> EditNetContext:
     """Repeat only v_mean (consumed in the att-LSTM input concat, so it
-    must be [B*K]); all attention keys/values/masks stay per-image."""
-    return ctx.replace(v_mean=jnp.repeat(ctx.v_mean, k, axis=0))
+    must be [B*K]) and att_zv; all attention keys/values/masks stay
+    per-image.
+
+    att_zv is repeated HERE, outside the decode loop, on purpose: XLA's
+    while-loop LICM declines to hoist the [B*K, 4H] broadcast (it avoids
+    materializing large loop-invariant buffers), so leaving the repeat to
+    _step_hidden re-ran broadcast+reshape every step — 90us/step of pure
+    HBM churn at paper scale (round-3 profile: broadcast_in_dim.315 25us
+    + reshape.395 65us, both x44 inside while.6). One 42MB materialization
+    per batch replaces 44 of them."""
+    return ctx.replace(
+        v_mean=jnp.repeat(ctx.v_mean, k, axis=0),
+        att_zv=jnp.repeat(ctx.att_zv, k, axis=0),
+    )
 
 
 def _step_hidden(
@@ -201,11 +213,10 @@ def _step_hidden(
     zv = ctx.att_zv  # [B, 4H]
     N, B = z.shape[0], zv.shape[0]
     if N != B:  # grouped beam layout: rows contiguous per image
-        # jnp.repeat of the loop-invariant zv is hoisted out of the
-        # decode while_loop by XLA, and the flat [N,4H] add fuses into
-        # the gate-math fusion. (The earlier reshape(B,G,·)+broadcast
-        # form forced a 42MB/step HBM round-trip of z — reshape.422
-        # in the profile.)
+        # Fallback only — beam_expand pre-repeats att_zv to [B*K] so
+        # beam decode never takes this branch (XLA's while-loop LICM
+        # declines to hoist the big broadcast; see beam_expand). Kept
+        # for callers that pass a grouped ctx without beam_expand.
         zv = jnp.repeat(zv, N // B, axis=0)
     h_att, c_att = lstm_gates(z + zv + params.att_lstm.b, state.c_att)
 
@@ -233,8 +244,15 @@ def _finish_step(
         params.vis_attention, ctx.vis_keys, ctx.features, h_att,
         None, compute_dtype=dt,
     )  # [B, F]
+    # Cast the attended read to compute dtype at the source: its only
+    # consumers (gate multiply, then the Copy-LSTM matmuls) eat dt
+    # anyway, and casting here lets XLA emit the [B, F] read in dt
+    # instead of round-tripping a 2x-wide fp32 buffer through HBM
+    # (round-3 profile: ~33us/step at paper beam shapes). At fp32
+    # compute dtype these casts are no-ops.
+    v_hat = v_hat.astype(dt)
     gate = jax.nn.sigmoid(h_att @ params.vis_gate_w + params.vis_gate_b)
-    v_hat = gate * v_hat
+    v_hat = (gate * v_hat).astype(dt)
 
     # 3. SCMA: select a memory cell state from the caption encoder.
     c_star, _ = scma_select(

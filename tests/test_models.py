@@ -143,7 +143,9 @@ def test_dropout_only_in_train_mode():
 
 
 def test_registry_unknown_arch():
-    with pytest.raises(KeyError):
+    # ModelConfig validates arch at construction now, so the bad value
+    # never reaches the registry.
+    with pytest.raises(ValueError, match="arch"):
         get_model(ModelConfig(arch="transformer", **CFG))
 
 
