@@ -114,7 +114,11 @@ def _step_forward(static, ins, state, z_t, t):
         ins["features"], preferred_element_type=_pf(dt),
     )
     g_v = _sig(h_att @ ins["gate_w"] + ins["gate_b"])
-    v_hat = g_v * ctx_v
+    # Match the model's source cast (editnet._finish_step): the attended
+    # read is rounded to dt before the gate multiply and the product is
+    # rounded again, so the two forwards stay bitwise-comparable at bf16.
+    # Both casts are no-ops at fp32/fp64.
+    v_hat = _cast(g_v * _cast(ctx_v, dt), dt)
 
     # SCMA (soft): same attention form over the encoder cell pool
     qs = jnp.dot(_cast(h_att, dt), _cast(ins["scma_wq"], dt),
@@ -227,7 +231,8 @@ def _recurrent_seq_bwd(static, res, d_outs):
             ins["features"], preferred_element_type=_pf(dt),
         )
         g_v = _sig(h_att @ ins["gate_w"] + ins["gate_b"])
-        v_hat = g_v * ctx_v
+        # same source cast as the forward (see _step_forward)
+        v_hat = _cast(g_v * _cast(ctx_v, dt), dt)
         qs = jnp.dot(_cast(h_att, dt), _cast(ins["scma_wq"], dt),
                      preferred_element_type=_pf(dt))
         e_s = jnp.tanh(ins["scma_keys"] + qs[:, None, :] + ins["scma_b"])
