@@ -97,6 +97,11 @@ def beam_search(
         ctx_k = model.beam_expand(ctx, K)
     else:
         ctx_k = _repeat_ctx(ctx, K)
+    if model.prepare_topk is not None and model.step_topk is not None:
+        # Decode-loop-invariant fused-head precomputation (e.g. padding
+        # the head weight to the kernel tile grid) — once per batch here,
+        # because XLA's while-loop LICM declines to hoist it per step.
+        ctx_k = model.prepare_topk(params, ctx_k, K)
     model_state = model.init_state(params, ctx_k)  # leaves [B*K, ...]
 
     def rank(scores: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -194,14 +199,18 @@ def beam_search(
         lengths = gather_bk(s.lengths) + jnp.logical_not(was_done)
         done = was_done | (new_tok == end_id)
 
+        # Flat global row indices for the state reorder: gathering rows of
+        # the [B*K, ...] leaves directly (instead of reshape -> 3-D
+        # take_along_axis -> reshape) lets XLA keep the leaf's {1,0}
+        # layout — the 3-D form forced a {2,0,1} layout copy of every
+        # state leaf before each gather (copy.204-208 in the round-3
+        # profile, ~19us x 4 leaves per step at paper scale).
+        flat_parent = (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * K + parent
+        ).reshape(B * K)
+
         def gather_state(x):  # [B*K, ...] -> reorder by parent
-            xk = x.reshape(B, K, *x.shape[1:])
-            xk = jnp.take_along_axis(
-                xk,
-                parent.reshape(B, K, *([1] * (x.ndim - 1))),
-                axis=1,
-            )
-            return xk.reshape(B * K, *x.shape[1:])
+            return jnp.take(x, flat_parent, axis=0)
 
         model_state2 = jax.tree.map(gather_state, new_state)
 

@@ -52,6 +52,13 @@ class ModelDef:
     # one Pallas kernel (captionkit.ops.head; round-2 profiling found the
     # XLA vocab tail was 42% of beam-step device time).
     step_topk: Optional[Callable[..., Any]] = None
+    # Optional decode-loop-invariant precomputation for the fused head:
+    # (params, ctx, k) -> ctx. Called once by beam search after
+    # beam_expand, BEFORE the while_loop, so per-step loop-invariant work
+    # XLA declines to hoist (e.g. padding the [H, V] head weight to the
+    # kernel's tile grid — 37us/step at paper scale) happens once per
+    # batch instead of once per step.
+    prepare_topk: Optional[Callable[[Any, Any, int], Any]] = None
     # Optional training-optimized teacher forcing: (params, ctx, state0,
     # tokens_in [B,T], rng, train) -> logits [B,T,V]. Row-wise identical
     # math to scanning `step`, but the parts of the step that do not

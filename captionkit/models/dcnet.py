@@ -65,6 +65,9 @@ class DCNetContext:
     c0: jax.Array  # [B, H]
     features: Optional[jax.Array] = None  # [B, R, F] when visual is on
     vis_keys: Optional[jax.Array] = None  # [B, R, A]
+    # Pre-padded fused-head weights (prepare_topk; see editnet.py).
+    head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype
+    head_b: Optional[jax.Array] = None  # [Vp] fp32, padding = -1e30
 
 
 @struct.dataclass
@@ -332,11 +335,33 @@ def step_topk(
         from captionkit.ops import pallas_supported
         from captionkit.ops.head import fused_head_topk
 
+        w = params.fc_w if ctx.head_w is None else ctx.head_w
+        b = params.fc_b if ctx.head_b is None else ctx.head_b
         vals, idx, lse = fused_head_topk(
-            out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
+            out, w, b, k=k, compute_dtype=_cdt(cfg),
             interpret=not pallas_supported(),
         )
     return new_state, vals, idx, lse
+
+
+def prepare_topk(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    ctx: DCNetContext,
+    k: int,
+) -> DCNetContext:
+    """Stash pre-padded fused-head weights in ctx (see editnet.prepare_topk
+    — one pad+convert per batch instead of per decode step)."""
+    if cfg.head_impl == "xla":
+        return ctx
+    from captionkit.ops.head import prepad_head
+
+    n_rows = ctx.h0.shape[0]
+    w_p, b_p = prepad_head(
+        params.fc_w, params.fc_b, n_rows=n_rows, k=k,
+        compute_dtype=_cdt(cfg),
+    )
+    return ctx.replace(head_w=w_p, head_b=b_p)
 
 
 def make_model(cfg: ModelConfig) -> ModelDef:
@@ -355,6 +380,10 @@ def make_model(cfg: ModelConfig) -> ModelDef:
             (lambda params, ctx, state, token, k: step_topk(
                 params, cfg, ctx, state, token, k
             ))
+            if cfg.use_fused_head else None
+        ),
+        prepare_topk=(
+            (lambda params, ctx, k: prepare_topk(params, cfg, ctx, k))
             if cfg.use_fused_head else None
         ),
         forward_seq=(

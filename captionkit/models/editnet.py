@@ -78,6 +78,11 @@ class EditNetContext:
     enc_cs: jax.Array  # [B, T, H]   (SCMA copy pool)
     scma_keys: jax.Array  # [B, T, A]
     mask: jax.Array  # [B, T] bool
+    # Decode-loop-invariant fused-head weights, stashed by prepare_topk
+    # (pre-padded to the kernel tile grid + pre-converted to compute
+    # dtype) so the while_loop body's pad/convert become no-ops.
+    head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype
+    head_b: Optional[jax.Array] = None  # [Vp] fp32, padding = -1e30
 
 
 @struct.dataclass
@@ -415,6 +420,26 @@ def step(
     return new_state, logits
 
 
+def prepare_topk(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    ctx: EditNetContext,
+    k: int,
+) -> EditNetContext:
+    """Stash the pre-padded fused-head weights in ctx (ops.head.prepad_head
+    — one pad+convert per batch instead of per decode step)."""
+    if cfg.head_impl == "xla":
+        return ctx
+    from captionkit.ops.head import prepad_head
+
+    n_rows = ctx.v_mean.shape[0]
+    w_p, b_p = prepad_head(
+        params.fc_w, params.fc_b, n_rows=n_rows, k=k,
+        compute_dtype=_cdt(cfg),
+    )
+    return ctx.replace(head_w=w_p, head_b=b_p)
+
+
 def step_topk(
     params: EditNetParams,
     cfg: ModelConfig,
@@ -437,8 +462,10 @@ def step_topk(
         from captionkit.ops import pallas_supported
         from captionkit.ops.head import fused_head_topk
 
+        w = params.fc_w if ctx.head_w is None else ctx.head_w
+        b = params.fc_b if ctx.head_b is None else ctx.head_b
         vals, idx, lse = fused_head_topk(
-            out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg),
+            out, w, b, k=k, compute_dtype=_cdt(cfg),
             interpret=not pallas_supported(),
         )
     return new_state, vals, idx, lse
@@ -460,6 +487,10 @@ def make_model(cfg: ModelConfig) -> ModelDef:
             (lambda params, ctx, state, token, k: step_topk(
                 params, cfg, ctx, state, token, k
             ))
+            if cfg.use_fused_head else None
+        ),
+        prepare_topk=(
+            (lambda params, ctx, k: prepare_topk(params, cfg, ctx, k))
             if cfg.use_fused_head else None
         ),
         # Training-optimized teacher forcing.

@@ -333,6 +333,38 @@ def _sweep_head_topk(h, w, b, *, k, compute_dtype, interpret):
     return vals[:N], idx[:N], lse[:N, 0]
 
 
+def prepad_head(
+    w: jax.Array,  # [H, V]
+    b: jax.Array,  # [V]
+    *,
+    n_rows: int,
+    k: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Pad + convert the head weights to the kernel's tile grid ONCE,
+    outside the decode loop.
+
+    fused_head_topk pads its weight operand to a TV multiple on every
+    call; inside beam search's while_loop XLA declines to hoist that pad
+    (same large-loop-invariant-buffer LICM heuristic that keeps the
+    att_zv broadcast in the body — pad.191 in the round-3 profile,
+    37us/step of pure HBM churn at paper scale). Callers that decode
+    many steps pre-pad here and pass the result straight through:
+    fused_head_topk's own _pad_axis/astype become no-ops because the
+    tile walk is V-independent, so it re-derives the same (TN, TV).
+
+    Padded vocab columns carry bias -1e30: never in the top-k, and
+    exp(-1e30) = 0 keeps the log-sum-exp exact."""
+    H, V = w.shape
+    dt = compute_dtype
+    TN, TV = _pick_tiles(n_rows, H, V, k, jnp.dtype(dt).itemsize)
+    TV = min(TV, _round_up(V, 128))
+    Vp = _round_up(V, TV)
+    w_p = _pad_axis(w.astype(dt), 1, Vp)
+    b_p = _pad_axis(b.astype(jnp.float32), 0, Vp, value=_NEG)
+    return w_p, b_p
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "compute_dtype", "interpret", "tiles")
 )
