@@ -159,13 +159,15 @@ def _slow_beam(model, params, ctx_1, K, max_len, length_penalty=0.0):
     return seqs[k], rank(scores[k], lengths[k])
 
 
+@pytest.mark.parametrize("impl", ["register", "backptr"])
 @pytest.mark.parametrize("arch", ["dcnet", "editnet"])
 @pytest.mark.parametrize("lp", [0.0, 1.0])
-def test_beam_matches_slow_oracle(arch, lp):
+def test_beam_matches_slow_oracle(arch, lp, impl):
     cfg, model, params, ctx = _setup(arch, batch=4, seed=2)
     K, L = 3, 8
     res = beam_search(model, params, ctx, beam_size=K, start_id=START,
-                      end_id=END, pad_id=PAD, max_len=L, length_penalty=lp)
+                      end_id=END, pad_id=PAD, max_len=L, length_penalty=lp,
+                      impl=impl)
     for b in range(4):
         ctx_1 = jax.tree.map(lambda x: x[b: b + 1], ctx)
         seq_ref, score_ref = _slow_beam(model, params, ctx_1, K, L,
@@ -178,12 +180,13 @@ def test_beam_matches_slow_oracle(arch, lp):
         )
 
 
-def test_beam_size_one_equals_greedy():
+@pytest.mark.parametrize("impl", ["register", "backptr"])
+def test_beam_size_one_equals_greedy(impl):
     cfg, model, params, ctx = _setup("editnet", batch=3, seed=4)
     g = greedy_decode(model, params, ctx, start_id=START, end_id=END,
                       max_len=10)
     bm = beam_search(model, params, ctx, beam_size=1, start_id=START,
-                     end_id=END, max_len=10)
+                     end_id=END, max_len=10, impl=impl)
     np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(bm.tokens))
 
 
@@ -270,13 +273,15 @@ def _slow_beam_nbest(model, params, ctx_1, K, max_len, length_penalty=0.0):
     return live[:K]
 
 
+@pytest.mark.parametrize("impl", ["register", "backptr"])
 @pytest.mark.parametrize("arch", ["dcnet", "editnet"])
 @pytest.mark.parametrize("lp", [0.0, 1.0])
-def test_beam_nbest_matches_slow_oracle(arch, lp):
+def test_beam_nbest_matches_slow_oracle(arch, lp, impl):
     cfg, model, params, ctx = _setup(arch, batch=4, seed=2)
     K, L = 3, 8
     res = beam_search(model, params, ctx, beam_size=K, start_id=START,
-                      end_id=END, pad_id=PAD, max_len=L, length_penalty=lp)
+                      end_id=END, pad_id=PAD, max_len=L, length_penalty=lp,
+                      impl=impl)
     # Row 0 of the n-best list IS the top-1 result.
     np.testing.assert_array_equal(
         np.asarray(res.all_tokens[:, 0]), np.asarray(res.tokens))
@@ -304,14 +309,15 @@ def test_beam_nbest_matches_slow_oracle(arch, lp):
             assert got_scores[i] < -1e8
 
 
-def test_beam_nbest_short_supply():
+@pytest.mark.parametrize("impl", ["register", "backptr"])
+def test_beam_nbest_short_supply(impl):
     """An image whose completed pool has fewer than K entries must report
     NEG_INF/pad rows, not unfinished live hypotheses (reference completed-
     list semantics)."""
     cfg, model, params, ctx = _setup("editnet", batch=6, seed=7)
     K, L = 4, 6
     res = beam_search(model, params, ctx, beam_size=K, start_id=START,
-                      end_id=END, pad_id=PAD, max_len=L)
+                      end_id=END, pad_id=PAD, max_len=L, impl=impl)
     fin = np.asarray(res.all_scores) > -1e8
     toks = np.asarray(res.all_tokens)
     for b in range(6):
