@@ -8,7 +8,7 @@ from captionkit.metrics.cider import CiderD, NgramDocFreq
 fast = pytest.importorskip("captionkit.metrics.fast")
 
 if not fast.native_available():
-    pytest.skip("libcider.so not built (make -C native)",
+    pytest.skip("libcider.so not built (make -C captionkit/native)",
                 allow_module_level=True)
 
 HYPS = [
