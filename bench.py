@@ -65,6 +65,9 @@ def main() -> int:
                     help="skip the CPU denominator (vs_baseline = 0)")
     ap.add_argument("--head-impl", choices=["xla", "pallas"],
                     default=None, help="override ModelConfig.head_impl")
+    ap.add_argument("--beam-impl", choices=["register", "backptr"],
+                    default="register",
+                    help="beam-search history layout (decode.beam docstring)")
     ap.add_argument("--profile", default="",
                     help="dump a jax.profiler trace of the timed region")
     ap.add_argument("--streaming", action="store_true",
@@ -119,7 +122,7 @@ def main() -> int:
         return beam_search(
             model, params, ctx, beam_size=args.beam,
             start_id=mcfg.vocab_size - 2, end_id=-1,
-            max_len=args.max_len,
+            max_len=args.max_len, impl=args.beam_impl,
         ).tokens
 
     # Pre-stage every batch on device (input pipelines prefetch/overlap in

@@ -56,6 +56,7 @@ def make_decode_fn(
                 start_id=start_id, end_id=end_id, pad_id=pad_id,
                 max_len=decode_cfg.max_decode_len,
                 length_penalty=decode_cfg.length_penalty,
+                impl=decode_cfg.beam_impl,
             )
             return res.tokens
         if decode_cfg.method == "sample":

@@ -8,7 +8,15 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Printed by the test child between its host-default backend init and the
+# dryrun proper, so a timeout can be attributed: no sentinel -> the REAL
+# TPU backend hung initializing (tunnel down — environmental, skip);
+# sentinel present -> the CPU-mesh dryrun itself hung (a real bug, fail).
+_SENTINEL = "__backend_init_done__"
 
 
 def _run(code: str) -> subprocess.CompletedProcess:
@@ -18,14 +26,26 @@ def _run(code: str) -> subprocess.CompletedProcess:
     env.pop("_CAPTIONKIT_MULTICHIP_REEXEC", None)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    return subprocess.run(
-        [sys.executable, "-c", code],
-        env=env,
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code],
+            env=env,
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        if _SENTINEL in code and _SENTINEL not in out:
+            pytest.skip(
+                "real-device jax backend init hung >600s (TPU tunnel "
+                "down?) before the CPU-mesh dryrun even started — "
+                "environmental, not a dryrun_multichip regression"
+            )
+        raise
 
 
 def test_dryrun_multichip_driver_invocation():
@@ -42,6 +62,7 @@ def test_dryrun_multichip_after_backend_init():
     # fallback must re-exec a fresh interpreter and still succeed.
     proc = _run(
         "import jax; jax.devices(); "
+        f"print({_SENTINEL!r}, flush=True); "
         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
