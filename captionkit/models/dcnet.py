@@ -194,7 +194,13 @@ def _recurrent_contexts(
         params.attention, ctx.att_keys, ctx.enc_hs, h, ctx.mask,
         compute_dtype=dt,
     )  # [B, H]
-    gate = jax.nn.sigmoid(h @ params.gate_w + params.gate_b)
+    # Gate matmul in compute dtype (matches every other matmul; the
+    # sigmoid and the gating multiply stay fp32).
+    gate = jax.nn.sigmoid(
+        jnp.dot(h.astype(dt), params.gate_w.astype(dt),
+                preferred_element_type=jnp.float32)
+        + params.gate_b
+    )
     parts = [gate * att_ctx]
     if ctx.features is not None and params.vis_attention is not None:
         vis_ctx, _ = attention(

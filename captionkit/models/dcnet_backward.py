@@ -61,7 +61,10 @@ def _step(static, ins, state, z_x_t, t):
     dt = _dt(dt_name)
     h_in, c_in = state
     att_ctx, omega, _q, _e = _attention(ins, h_in, dt)
-    g = jax.nn.sigmoid(h_in @ ins["gate_w"] + ins["gate_b"])
+    g = jax.nn.sigmoid(
+        jnp.dot(_cast(h_in, dt), _cast(ins["gate_w"], dt),
+                preferred_element_type=_pf(dt))
+        + ins["gate_b"])
     part = g * att_ctx
     x_rec = jnp.concatenate([part, h_in], axis=-1)
     z = z_x_t + jnp.dot(_cast(x_rec, dt), _w_rec(ins, dt),
@@ -115,7 +118,10 @@ def _bwd(static, res, d_outs):
         c = f * c_in + i * gg
         tc = jnp.tanh(c)
         att_ctx, _, q, e = _attention(ins, h_in, dt)
-        g = jax.nn.sigmoid(h_in @ ins["gate_w"] + ins["gate_b"])
+        g = jax.nn.sigmoid(
+        jnp.dot(_cast(h_in, dt), _cast(ins["gate_w"], dt),
+                preferred_element_type=_pf(dt))
+        + ins["gate_b"])
 
         if train and drop_rate > 0.0:
             step_rng = jax.random.fold_in(ins["rng"], t)
@@ -145,7 +151,10 @@ def _bwd(static, res, d_outs):
         dgate = dpart * att_ctx
         datt_ctx = dpart * g
         dgpre = dgate * g * (1.0 - g)
-        dh_prev = dh_prev + dgpre @ ins["gate_w"].T
+        dh_prev = dh_prev + jnp.dot(
+            _cast(dgpre, dt), _cast(ins["gate_w"], dt).T,
+            preferred_element_type=_pf(dt),
+        )
         domega = jnp.einsum(
             "bh,bmh->bm", datt_ctx.astype(ins["enc_hs"].dtype),
             ins["enc_hs"], preferred_element_type=_pf(dt),
@@ -202,8 +211,7 @@ def _bwd(static, res, d_outs):
         "att_wq": mm(h_in_st, em["dq"]),
         "att_v": jnp.sum(em["dv"], axis=0),
         "att_b": jnp.sum(em["db"], axis=0),
-        # the gate matmul runs in fp32 in the model (no dt cast)
-        "gate_w": jnp.einsum("tbh,tbf->hf", h_in_st, em["dgpre"]),
+        "gate_w": mm(h_in_st, em["dgpre"]),
         "gate_b": jnp.sum(em["dgpre"], axis=(0, 1)),
         "att_keys": d_att_keys.astype(ins["att_keys"].dtype),
         "enc_hs": d_enc_hs,

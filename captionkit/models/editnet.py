@@ -256,7 +256,14 @@ def _finish_step(
     # (round-3 profile: ~33us/step at paper beam shapes). At fp32
     # compute dtype these casts are no-ops.
     v_hat = v_hat.astype(dt)
-    gate = jax.nn.sigmoid(h_att @ params.vis_gate_w + params.vis_gate_b)
+    # Gate matmul in compute dtype like every other matmul of the step
+    # ([B*K, H] x [H, F] — at paper beam shapes an fp32 dot here costs
+    # ~3x its bf16 twin on the MXU); the sigmoid and blend stay fp32.
+    gate = jax.nn.sigmoid(
+        jnp.dot(h_att.astype(dt), params.vis_gate_w.astype(dt),
+                preferred_element_type=jnp.float32)
+        + params.vis_gate_b
+    )
     v_hat = (gate * v_hat).astype(dt)
 
     # 3. SCMA: select a memory cell state from the caption encoder.

@@ -113,7 +113,9 @@ def _step_forward(static, ins, state, z_t, t):
         "br,brf->bf", alpha.astype(ins["features"].dtype),
         ins["features"], preferred_element_type=_pf(dt),
     )
-    g_v = _sig(h_att @ ins["gate_w"] + ins["gate_b"])
+    g_v = _sig(jnp.dot(_cast(h_att, dt), _cast(ins["gate_w"], dt),
+                       preferred_element_type=_pf(dt))
+               + ins["gate_b"])
     # Match the model's source cast (editnet._finish_step): the attended
     # read is rounded to dt before the gate multiply and the product is
     # rounded again, so the two forwards stay bitwise-comparable at bf16.
@@ -230,7 +232,9 @@ def _recurrent_seq_bwd(static, res, d_outs):
             "br,brf->bf", alpha.astype(ins["features"].dtype),
             ins["features"], preferred_element_type=_pf(dt),
         )
-        g_v = _sig(h_att @ ins["gate_w"] + ins["gate_b"])
+        g_v = _sig(jnp.dot(_cast(h_att, dt), _cast(ins["gate_w"], dt),
+                       preferred_element_type=_pf(dt))
+               + ins["gate_b"])
         # same source cast as the forward (see _step_forward)
         v_hat = _cast(g_v * _cast(ctx_v, dt), dt)
         qs = jnp.dot(_cast(h_att, dt), _cast(ins["scma_wq"], dt),
@@ -302,7 +306,10 @@ def _recurrent_seq_bwd(static, res, d_outs):
         dg_v = dv_hat * ctx_v
         dctx_v = dv_hat * g_v
         dgpre = dg_v * g_v * (1.0 - g_v)
-        dh_att = dh_att + dgpre @ ins["gate_w"].T
+        dh_att = dh_att + jnp.dot(
+            _cast(dgpre, dt), _cast(ins["gate_w"], dt).T,
+            preferred_element_type=_pf(dt),
+        )
         dalpha = jnp.einsum(
             "bf,brf->br", dctx_v.astype(ins["features"].dtype),
             ins["features"], preferred_element_type=_pf(dt),
@@ -401,8 +408,7 @@ def _recurrent_seq_bwd(static, res, d_outs):
         "vis_wq": mm(em["h_att"], em["dqv"]),
         "vis_v": jnp.sum(em["dv_v"], axis=0),
         "vis_b": jnp.sum(em["db_v"], axis=0),
-        # the visual gate matmul runs in fp32 in the model (no dt cast)
-        "gate_w": jnp.einsum("tbh,tbf->hf", em["h_att"], em["dgpre"]),
+        "gate_w": mm(em["h_att"], em["dgpre"]),
         "gate_b": jnp.sum(em["dgpre"], axis=(0, 1)),
         "scma_wq": mm(em["h_att"], em["dqs"]),
         "scma_v": jnp.sum(em["dv_s"], axis=0),
