@@ -83,6 +83,10 @@ class EditNetContext:
     # dtype) so the while_loop body's pad/convert become no-ops.
     head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype
     head_b: Optional[jax.Array] = None  # [Vp] fp32, padding = -1e30
+    # Fused decode-cell pack (ops.megastep.CellPack), stashed by
+    # prepare_topk when cfg.cell_impl == "pallas": padded weights +
+    # context for the two cell kernels, built once per decode batch.
+    cell_pack: Optional[Any] = None
 
 
 @struct.dataclass
@@ -200,6 +204,24 @@ def _step_hidden(
     dropped-out) language hidden state the head consumes."""
     dt = _cdt(cfg)
     emb = params.embedding[token]  # [B, E]
+
+    if ctx.cell_pack is not None and not train:
+        # Fused cell kernels (cfg.cell_impl == "pallas"; the pack was
+        # built by prepare_topk from this exact ctx). Inference-only:
+        # the kernels have no backward and skip dropout.
+        from captionkit.ops import pallas_supported
+        from captionkit.ops.megastep import fused_step_hidden
+
+        h_att, c_att, h_lang, c_lang = fused_step_hidden(
+            ctx.cell_pack, state.h_att, state.c_att, state.h_lang,
+            state.c_lang, emb, num_regions=cfg.num_regions,
+            compute_dtype=dt, interpret=not pallas_supported(),
+        )
+        return (
+            EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang,
+                         c_lang=c_lang),
+            h_lang,
+        )
 
     # 1. Attention LSTM: gate pre-activations from a [E+H+H, 4H] matmul
     # over the step-VARYING inputs plus the hoisted step-invariant v̄ term
@@ -433,8 +455,14 @@ def prepare_topk(
     ctx: EditNetContext,
     k: int,
 ) -> EditNetContext:
-    """Stash the pre-padded fused-head weights in ctx (ops.head.prepad_head
-    — one pad+convert per batch instead of per decode step)."""
+    """Stash the decode-loop-invariant precomputations in ctx: the
+    pre-padded fused-head weights (ops.head.prepad_head) and, when
+    cfg.cell_impl == "pallas", the fused-cell pack (ops.megastep) — one
+    pad+convert per batch instead of per decode step."""
+    if cfg.cell_impl == "pallas" and cfg.scma_select == "soft":
+        from captionkit.ops.megastep import prepare_cell_pack
+
+        ctx = ctx.replace(cell_pack=prepare_cell_pack(params, cfg, ctx))
     if cfg.head_impl == "xla":
         return ctx
     from captionkit.ops.head import prepad_head

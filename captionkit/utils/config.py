@@ -78,6 +78,13 @@ class ModelConfig:
     # settings) — its 97MB/step logits round-trip crowds the MSA feature
     # cache the decode program depends on. See ops/head.py.
     head_impl: str = "pallas"
+    # Fused decode-step cell kernels (ops/megastep.py): "pallas" runs the
+    # attention-LSTM + attention scores and the visual-gate + Copy-LSTM
+    # as two Pallas kernels around the XLA grouped context einsums,
+    # keeping the step's concat/gate-preactivation intermediates in VMEM.
+    # Beam decode only (the pack is built by the prepare_topk hook);
+    # soft-SCMA EditNet only; everything else falls back to "xla".
+    cell_impl: str = "xla"
 
     def __post_init__(self) -> None:
         # Validate the string-enum knobs up front: the dispatch sites test
@@ -93,6 +100,9 @@ class ModelConfig:
         if self.head_impl not in ("pallas", "xla"):
             raise ValueError(f"ModelConfig.head_impl must be 'pallas' or "
                              f"'xla', got {self.head_impl!r}")
+        if self.cell_impl not in ("pallas", "xla"):
+            raise ValueError(f"ModelConfig.cell_impl must be 'pallas' or "
+                             f"'xla', got {self.cell_impl!r}")
 
     @property
     def pad_id(self) -> int:
