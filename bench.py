@@ -68,6 +68,9 @@ def main() -> int:
     ap.add_argument("--beam-impl", choices=["register", "backptr"],
                     default="register",
                     help="beam-search history layout (decode.beam docstring)")
+    ap.add_argument("--cell-impl", choices=["xla", "pallas"],
+                    default=None, help="override ModelConfig.cell_impl "
+                    "(fused decode-step cell kernels, ops/megastep.py)")
     ap.add_argument("--profile", default="",
                     help="dump a jax.profiler trace of the timed region")
     ap.add_argument("--streaming", action="store_true",
@@ -90,6 +93,8 @@ def main() -> int:
     from captionkit.utils.config import ModelConfig
 
     over = {} if args.head_impl is None else {"head_impl": args.head_impl}
+    if args.cell_impl is not None:
+        over["cell_impl"] = args.cell_impl
     mcfg = ModelConfig(arch=args.arch, dropout=0.0, **over, **PAPER)
     model = get_model(mcfg)
     params = model.init(jax.random.PRNGKey(0))
