@@ -68,6 +68,9 @@ class DCNetContext:
     # Pre-padded fused-head weights (prepare_topk; see editnet.py).
     head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype
     head_b: Optional[jax.Array] = None  # [Vp] fp32, padding = -1e30
+    # Fused decode-cell pack (ops.megastep.DCNetCellPack), stashed by
+    # prepare_topk when cfg.cell_impl == "pallas" (textual config only).
+    cell_pack: Optional[Any] = None
 
 
 @struct.dataclass
@@ -172,6 +175,18 @@ def _step_hidden(
     dt = _cdt(cfg)
     lstm_cell = get_lstm_cell_fn()
     emb = params.embedding[token]  # [B, E]
+
+    if ctx.cell_pack is not None and not train:
+        # Fused cell kernels (cfg.cell_impl == "pallas"; pack built by
+        # prepare_topk). Inference-only; dropout is identity here.
+        from captionkit.ops import pallas_supported
+        from captionkit.ops.megastep import dcnet_fused_step_hidden
+
+        h, c = dcnet_fused_step_hidden(
+            ctx.cell_pack, state.h, state.c, emb, compute_dtype=dt,
+            interpret=not pallas_supported(),
+        )
+        return DCNetState(h=h, c=c), h
     x = jnp.concatenate(
         [emb] + _recurrent_contexts(params, cfg, ctx, state.h), axis=-1
     )
@@ -357,7 +372,14 @@ def prepare_topk(
     k: int,
 ) -> DCNetContext:
     """Stash pre-padded fused-head weights in ctx (see editnet.prepare_topk
-    — one pad+convert per batch instead of per decode step)."""
+    — one pad+convert per batch instead of per decode step) and, when
+    cfg.cell_impl == "pallas", the fused-cell pack (textual config only —
+    the visual variant falls back to the jnp step)."""
+    if cfg.cell_impl == "pallas" and not cfg.dcnet_use_visual:
+        from captionkit.ops.megastep import prepare_dcnet_cell_pack
+
+        ctx = ctx.replace(cell_pack=prepare_dcnet_cell_pack(params, cfg,
+                                                            ctx))
     if cfg.head_impl == "xla":
         return ctx
     from captionkit.ops.head import prepad_head

@@ -420,3 +420,184 @@ def fused_step_hidden(
 
     unp = lambda x: x[:, :H] if Hp != H else x
     return unp(h_att2), unp(c_att2), unp(h_lang2), unp(c_lang2)
+
+
+# --------------------------------------------------------------------------
+# DCNet sibling: score kernel -> XLA grouped context einsum -> gate+LSTM
+# --------------------------------------------------------------------------
+
+
+class DCNetCellPack(NamedTuple):
+    """Padded weights/context for DCNet's fused decode step (textual
+    config only — dcnet_use_visual falls back to the jnp path)."""
+
+    att_wq: jax.Array  # [Hp, Ap] dt
+    att_v: jax.Array  # [1, Ap] fp32
+    att_b: jax.Array  # [1, Ap] fp32
+    gate_w: jax.Array  # [Hp, Hp] dt
+    gate_b: jax.Array  # [1, Hp] fp32
+    w_emb: jax.Array  # [Ep, 4Hp] dt  decoder.wx emb slice
+    w_part: jax.Array  # [Hp, 4Hp] dt decoder.wx gated-context slice
+    w_h: jax.Array  # [Hp, 4Hp] dt    decoder recurrent
+    b: jax.Array  # [1, 4Hp] fp32
+    att_keys: jax.Array  # [B, Tp, Ap] dt
+    enc_hs: jax.Array  # [B, Tp, Hp] dt
+    mask: jax.Array  # [B, Tp] fp32 (1 = attendable; padding is 0)
+
+
+def prepare_dcnet_cell_pack(params, cfg, ctx) -> DCNetCellPack:
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    E, H, A = cfg.emb_dim, cfg.hidden_dim, cfg.att_dim
+    T = ctx.enc_hs.shape[1]
+    Ep, Hp = _round_up(E, 128), _round_up(H, 128)
+    Ap, Tp = _round_up(A, 128), _round_up(T, 16)
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+
+    def wpad(w, rows):
+        return _pad_to(_pad_gates(w, Hp), 0, rows).astype(dt)
+
+    def qpad(w, rows, cols):
+        return _pad_to(_pad_to(w, 1, cols), 0, rows).astype(dt)
+
+    return DCNetCellPack(
+        att_wq=qpad(params.attention.w_q, Hp, Ap),
+        att_v=row(_pad_to(params.attention.v, 0, Ap)),
+        att_b=row(_pad_to(params.attention.b, 0, Ap)),
+        gate_w=qpad(params.gate_w, Hp, Hp),
+        gate_b=row(_pad_to(params.gate_b, 0, Hp)),
+        w_emb=wpad(params.decoder.wx[:E], Ep),
+        w_part=wpad(params.decoder.wx[E:], Hp),
+        w_h=wpad(params.decoder.wh, Hp),
+        b=row(_pad_gates(params.decoder.b, Hp)),
+        att_keys=_pad_to(_pad_to(ctx.att_keys, 2, Ap), 1, Tp).astype(dt),
+        enc_hs=_pad_to(_pad_to(ctx.enc_hs, 2, Hp), 1, Tp).astype(dt),
+        mask=_pad_to(ctx.mask, 1, Tp).astype(jnp.float32),
+    )
+
+
+def _make_dcnet_score_kernel(K: int, dt):
+    def kernel(h_ref, wq_ref, v_ref, b_ref, keys_ref, mask_ref, omega_out):
+        pf = jnp.float32
+        q = jnp.dot(h_ref[...].astype(dt), wq_ref[...],
+                    preferred_element_type=pf)  # [Nb, Ap]
+        keys = jnp.repeat(keys_ref[...], K, axis=0)  # [Nb, Tp, Ap]
+        e = jnp.tanh(keys + q[:, None, :] + b_ref[...][None, :, :])
+        s = jnp.sum(e * v_ref[...][None, :, :], axis=-1)  # [Nb, Tp]
+        valid = jnp.repeat(mask_ref[...], K, axis=0) > 0.0
+        s = jnp.where(valid, s, NEG_INF)
+        omega_out[...] = jax.nn.softmax(s, axis=-1).astype(omega_out.dtype)
+
+    return kernel
+
+
+def _make_dcnet_lstm_kernel(dt):
+    def kernel(emb_ref, ctx_ref, h_ref, c_ref,
+               gate_w_ref, gate_b_ref, w_emb_ref, w_part_ref, w_h_ref,
+               b_ref, h_out, c_out):
+        pf = jnp.float32
+        h_dt = h_ref[...].astype(dt)
+        gate = jax.nn.sigmoid(
+            jnp.dot(h_dt, gate_w_ref[...], preferred_element_type=pf)
+            + gate_b_ref[...]
+        )
+        part = (gate * ctx_ref[...]).astype(dt)
+        z = (
+            jnp.dot(emb_ref[...], w_emb_ref[...],
+                    preferred_element_type=pf)
+            + jnp.dot(part, w_part_ref[...], preferred_element_type=pf)
+            + jnp.dot(h_dt, w_h_ref[...], preferred_element_type=pf)
+            + b_ref[...]
+        )
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c_ref[...] + i * g
+        h_out[...] = o * jnp.tanh(c)
+        c_out[...] = c
+
+    return kernel
+
+
+def dcnet_fused_step_hidden(
+    pack: DCNetCellPack,
+    state_h: jax.Array,  # [N, H] fp32
+    state_c: jax.Array,
+    emb: jax.Array,  # [N, E] fp32
+    *,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """DCNet decode step up to the vocab head — fused twin of
+    models.dcnet._step_hidden (textual config, train=False)."""
+    dt = compute_dtype
+    B = pack.enc_hs.shape[0]
+    N, H = state_h.shape
+    if N % B:
+        raise ValueError(f"row count {N} not a multiple of image count {B}")
+    K = N // B
+    Hp = pack.w_h.shape[0]
+    Ep = pack.w_emb.shape[0]
+    Ap = pack.att_wq.shape[1]
+    Tp = pack.att_keys.shape[1]
+
+    h = _pad_to(state_h, 1, Hp)
+    c = _pad_to(state_c, 1, Hp)
+    emb_p = _pad_to(emb, 1, Ep).astype(dt)
+
+    G = _pick_g(B, K, 256)
+    Nb = G * K
+    rows = lambda width: pl.BlockSpec(
+        (Nb, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wconst = lambda d1, d2: pl.BlockSpec(
+        (d1, d2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    omega = pl.pallas_call(
+        _make_dcnet_score_kernel(K, dt),
+        grid=(B // G,),
+        in_specs=[
+            rows(Hp),
+            wconst(Hp, Ap), wconst(1, Ap), wconst(1, Ap),
+            pl.BlockSpec((G, Tp, Ap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Tp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=rows(Tp),
+        out_shape=jax.ShapeDtypeStruct((N, Tp), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(h, pack.att_wq, pack.att_v, pack.att_b, pack.att_keys, pack.mask)
+
+    att_ctx = jnp.einsum(
+        "bkt,bth->bkh", omega.reshape(B, K, Tp), pack.enc_hs,
+        preferred_element_type=jnp.float32,
+    ).reshape(N, Hp)
+
+    NbB = min(512, N) if N % min(512, N) == 0 else N
+    rowsb = lambda width: pl.BlockSpec(
+        (NbB, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    h2, c2 = pl.pallas_call(
+        _make_dcnet_lstm_kernel(dt),
+        grid=(N // NbB,),
+        in_specs=[
+            rowsb(Ep), rowsb(Hp), rowsb(Hp), rowsb(Hp),
+            wconst(Hp, Hp), wconst(1, Hp),
+            wconst(Ep, 4 * Hp), wconst(Hp, 4 * Hp), wconst(Hp, 4 * Hp),
+            wconst(1, 4 * Hp),
+        ],
+        out_specs=[rowsb(Hp), rowsb(Hp)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((N, Hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(emb_p, att_ctx, h, c,
+      pack.gate_w, pack.gate_b, pack.w_emb, pack.w_part, pack.w_h, pack.b)
+
+    unp = lambda x: x[:, :H] if Hp != H else x
+    return unp(h2), unp(c2)

@@ -153,3 +153,77 @@ def test_beam_search_fused_cells_matches_xla_path():
                                   np.asarray(rp.tokens))
     np.testing.assert_allclose(np.asarray(rx.scores),
                                np.asarray(rp.scores), rtol=2e-4, atol=2e-4)
+
+
+# -- DCNet sibling ----------------------------------------------------------
+
+
+def _setup_dcnet(batch=3, t_in=6, k=1, seed=0, **over):
+    from captionkit.models import dcnet
+
+    cfg = ModelConfig(**{**CFG, **over, "arch": "dcnet"})
+    params = dcnet.init(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.default_rng(seed)
+    existing = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (batch, t_in)), jnp.int32)
+    existing_len = jnp.asarray(
+        rng.integers(2, t_in + 1, (batch,)), jnp.int32)
+    ctx = dcnet.encode(params, cfg, None, existing, existing_len)
+    if k > 1:
+        ctx = dcnet.beam_expand(ctx, k)
+    return cfg, params, ctx
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_dcnet_fused_step_matches_jnp_step_chained(k):
+    from captionkit.models import dcnet
+    from captionkit.ops.megastep import (
+        dcnet_fused_step_hidden, prepare_dcnet_cell_pack)
+
+    cfg, params, ctx = _setup_dcnet(batch=3, k=k)
+    B = 3 * k
+    pack = prepare_dcnet_cell_pack(params, cfg, ctx)
+    state = dcnet.init_state(params, ctx)
+    rng = np.random.default_rng(1)
+    s_ref, s_fused = state, state
+    for step_i in range(4):
+        tok = jnp.asarray(rng.integers(4, cfg.vocab_size, (B,)), jnp.int32)
+        s_ref, out_ref = dcnet._step_hidden(params, cfg, ctx, s_ref, tok)
+        emb = params.embedding[tok]
+        h, c = dcnet_fused_step_hidden(
+            pack, s_fused.h, s_fused.c, emb,
+            compute_dtype=jnp.float32, interpret=True)
+        s_fused = s_fused.replace(h=h, c=c)
+        np.testing.assert_allclose(
+            np.asarray(s_fused.h), np.asarray(s_ref.h),
+            rtol=2e-5, atol=2e-5, err_msg=f"step {step_i} h (k={k})")
+        np.testing.assert_allclose(
+            np.asarray(s_fused.c), np.asarray(s_ref.c),
+            rtol=2e-5, atol=2e-5, err_msg=f"step {step_i} c (k={k})")
+        np.testing.assert_allclose(
+            np.asarray(s_fused.h), np.asarray(out_ref),
+            rtol=2e-5, atol=2e-5)
+
+
+def test_dcnet_beam_search_fused_cells_matches_xla_path():
+    from captionkit.decode import beam_search
+    from captionkit.models import get_model
+
+    cfg_x = ModelConfig(**{**CFG, "arch": "dcnet"})
+    cfg_p = ModelConfig(**{**CFG, "arch": "dcnet", "cell_impl": "pallas"})
+    model_x, model_p = get_model(cfg_x), get_model(cfg_p)
+    params = model_x.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(2)
+    B = 4
+    existing = jnp.asarray(rng.integers(4, 30, (B, 6)), jnp.int32)
+    elen = jnp.asarray(rng.integers(2, 7, (B,)), jnp.int32)
+    ctx_x = model_x.encode(params, None, existing, elen)
+    ctx_p = model_p.encode(params, None, existing, elen)
+    rx = beam_search(model_x, params, ctx_x, beam_size=3, start_id=2,
+                     end_id=3, max_len=8)
+    rp = beam_search(model_p, params, ctx_p, beam_size=3, start_id=2,
+                     end_id=3, max_len=8)
+    np.testing.assert_array_equal(np.asarray(rx.tokens),
+                                  np.asarray(rp.tokens))
+    np.testing.assert_allclose(np.asarray(rx.scores),
+                               np.asarray(rp.scores), rtol=2e-4, atol=2e-4)
