@@ -46,9 +46,20 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+def _data_axes(mesh: Mesh, axis):
+    """Default: the batch shards over EVERY mesh axis. captionkit is
+    DP-only by design (module docstring), so a multi-axis mesh — e.g. a
+    2-level ('dcn', 'ici') layout where the outer axis crosses the slower
+    data-center network — is still pure data parallelism: the batch
+    splits across the full device grid and XLA's gradient psum becomes a
+    hierarchical reduction (intra-slice over ICI, then across DCN).
+    Passing an explicit axis (or tuple of axes) restricts the split."""
+    return tuple(mesh.axis_names) if axis is None else axis
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
     """Sharding for arrays whose leading dim is the global batch."""
-    return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P(_data_axes(mesh, axis)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -56,14 +67,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def stacked_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+def stacked_batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
     """Sharding for k-step stacked batches [k, B, ...]: the scan (leading)
     dim replicated, the batch dim sharded."""
-    return NamedSharding(mesh, P(None, axis))
+    return NamedSharding(mesh, P(None, _data_axes(mesh, axis)))
 
 
 def shard_batch_arrays(
-    mesh: Mesh, tree: Any, axis: str = "data", *, stacked: bool = False
+    mesh: Mesh, tree: Any, axis=None, *, stacked: bool = False
 ) -> Any:
     """Place every array leaf batch-sharded on the mesh (leading axis; with
     ``stacked``, the second axis — the leading one is the scan dim).

@@ -101,6 +101,30 @@ def test_dp_mesh_sizes_agree():
     np.testing.assert_allclose(l1, l8, rtol=2e-5)
 
 
+def test_dp_two_level_mesh_agrees():
+    """2-level ('dcn', 'ici') mesh — pure DP over BOTH axes (SURVEY.md
+    §3.5 'keeps a (dcn, ici) 2-level mesh option open'): same global
+    batch on a (2, 4) grid must reproduce the single-device trajectory;
+    the batch shards over all 8 devices and the gradient psum becomes a
+    hierarchical reduction."""
+    assert len(jax.devices()) >= 8
+
+    def run(shape, names, n_dev):
+        src, model, tcfg, state, batch = _setup("editnet", seed=3)
+        mesh = make_mesh(shape, names, devices=jax.devices()[:n_dev])
+        step = make_xe_train_step(model, tcfg, mesh)
+        batch_sh = shard_batch_arrays(mesh, batch)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch_sh)
+            losses.append(float(m["loss"]))
+        return losses
+
+    l1 = run((1,), ("data",), 1)
+    l24 = run((2, 4), ("dcn", "ici"), 8)
+    np.testing.assert_allclose(l1, l24, rtol=2e-5)
+
+
 def test_eval_loss_step_matches_train_loss_at_step0():
     src, model, tcfg, state, batch = _setup("dcnet")
     eval_step = make_eval_loss_step(model)
