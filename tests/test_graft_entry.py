@@ -53,7 +53,8 @@ def test_dryrun_multichip_driver_invocation():
         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    for fam in ("XE multistep", "SCST rollout+update", "beam decode"):
+    for fam in ("XE multistep", "SCST rollout+update", "beam decode",
+                "2-level (dcn,ici)"):
         assert fam in proc.stdout and "ok" in proc.stdout, proc.stdout
 
 
