@@ -289,3 +289,19 @@ def test_decode_split_stats_semantics():
     assert stats2["captions"] == 12
     assert stats2["captions_per_sec"] > 0.0
     assert stats2["wall_s"] > 0.0
+
+
+def test_decode_split_beam_impl_config_plumbing():
+    """DecodeConfig.beam_impl reaches beam_search through the driver:
+    both history layouts produce identical captions for a whole split."""
+    from captionkit.utils.config import DecodeConfig
+
+    src, mcfg, model, tcfg, state = _setup(seed=11)
+    ev = src.eval_view()
+    base = dict(method="beam", beam_size=3, max_decode_len=8, batch_size=8)
+    hyps_reg, _ = decode_split(
+        model, state.params, ev, DecodeConfig(**base, beam_impl="register"))
+    hyps_bp, _ = decode_split(
+        model, state.params, ev, DecodeConfig(**base, beam_impl="backptr"))
+    assert hyps_reg == hyps_bp
+    assert len(hyps_reg) == 12  # every image captioned
