@@ -371,3 +371,31 @@ def test_hard_scma_beam_matches_slow_oracle(lp):
         assert got == seq_ref, f"image {b}: {got} != {seq_ref}"
         np.testing.assert_allclose(
             float(res.scores[b]), score_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_beam_impls_agree_when_nothing_finishes():
+    """end_id unreachable (bench.py's forced full-length convention): the
+    n-best falls back to live slots; both history layouts must agree on
+    every surface, including the backptr live-slot reconstruction."""
+    cfg, model, params, ctx = _setup("editnet", batch=4, seed=9)
+    r = {}
+    for impl in ("register", "backptr"):
+        r[impl] = beam_search(model, params, ctx, beam_size=3,
+                              start_id=START, end_id=-1, pad_id=PAD,
+                              max_len=7, impl=impl)
+    for field in ("tokens", "scores", "lengths", "all_tokens",
+                  "all_scores", "all_lengths"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r["register"], field)),
+            np.asarray(getattr(r["backptr"], field)), err_msg=field)
+    # Full-length, nothing finished: every row emitted max_len tokens.
+    assert (np.asarray(r["backptr"].lengths) == 7).all()
+
+
+@pytest.mark.parametrize("impl", ["register", "backptr"])
+def test_beam_max_len_one(impl):
+    cfg, model, params, ctx = _setup("editnet", batch=3, seed=8)
+    res = beam_search(model, params, ctx, beam_size=2, start_id=START,
+                      end_id=END, pad_id=PAD, max_len=1, impl=impl)
+    assert res.tokens.shape == (3, 1)
+    assert (np.asarray(res.lengths) <= 1).all()
