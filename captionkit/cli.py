@@ -393,6 +393,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="overlap host CIDEr-D reward with the next "
                          "rollout (one-step-stale policy)")
 
+    sp = sub.add_parser(
+        "serve",
+        help="JSON-lines caption-edit server on stdin/stdout (one "
+             "resident compiled beam program, micro-batched requests)",
+    )
+    sp.add_argument("--config", default="editnet_beam5")
+    sp.add_argument("--set", action="append", default=[], metavar="K=V")
+    sp.add_argument("--params", help="params .npz (else random init)")
+    sp.add_argument("--wordmap", help="WORDMAP json (reference format)")
+    sp.add_argument("--synthetic", action="store_true",
+                    help="toy vocab + random weights (demo/tests)")
+    sp.add_argument("--batch", type=int, default=8,
+                    help="compiled micro-batch size")
+    sp.add_argument("--seed", type=int, default=0)
+
     sp = sub.add_parser("convert", help="torch checkpoint -> params .npz")
     sp.add_argument("--torch", required=True)
     sp.add_argument("--arch", required=True, choices=["dcnet", "editnet"])
@@ -425,9 +440,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def cmd_serve(args) -> int:
+    from captionkit.models import get_model
+    from captionkit.serve import CaptionServer, serve_stream
+
+    if not args.synthetic and not args.wordmap:
+        raise SystemExit("serve: --wordmap is required without --synthetic")
+    cfg = _apply_overrides(get_named_config(args.config), args.set)
+    cfg = cfg.override({"decode.batch_size": args.batch})
+    if args.synthetic:
+        from captionkit.data import SyntheticCaptionSource
+
+        vocab = SyntheticCaptionSource(
+            num_images=2, captions_per_image=1,
+            num_regions=cfg.model.num_regions, feat_dim=cfg.model.feat_dim,
+            max_len=cfg.data.max_existing_len, seed=0,
+        ).vocab
+    else:
+        from captionkit.data.vocab import Vocab
+
+        vocab = Vocab.load(args.wordmap)
+    cfg = cfg.override({"model.vocab_size": len(vocab)})
+    mcfg = cfg.model
+    model = get_model(mcfg)
+    params = _load_params(args, model, mcfg)
+    server = CaptionServer(cfg, params, model, vocab)
+    serve_stream(server, sys.stdin, sys.stdout)
+    return 0
+
+
 _COMMANDS = {
     "configs": cmd_configs,
     "decode": cmd_decode,
+    "serve": cmd_serve,
     "decode-stacked": cmd_decode_stacked,
     "train-xe": cmd_train_xe,
     "train-scst": cmd_train_scst,

@@ -1,0 +1,133 @@
+"""Caption-editing inference server: one resident compiled beam program,
+JSON-lines micro-batching (SURVEY.md has no reference equivalent — the
+reference decodes offline scripts only; this is the deployment surface a
+production framework adds on top).
+
+Design: the decode program is compiled ONCE for a fixed micro-batch
+size; incoming requests queue until the batch fills (or a flush/EOF
+drains it) and the tail batch pads by repeating the last row — static
+shapes, zero steady-state recompiles. Padding rows never leak: only the
+first `len(requests)` outputs are answered.
+
+Protocol (one JSON object per line):
+  request:  {"id": <any>, "caption": "existing caption to edit",
+             "features": "path.npy of [R, F]"}          (or)
+            {"id": ..., "caption": ..., "features_inline": [[...]]}
+  control:  {"flush": true}    decode whatever is queued now
+  response: {"id": <same>, "caption": "<edited caption>"}
+            {"id": <same>, "error": "<what was wrong>"}
+Startup emits {"ready": true, "batch": N} once the program is built.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Sequence
+
+import numpy as np
+
+from captionkit.utils.config import CaptionKitConfig
+
+
+class CaptionServer:
+    """Holds the compiled decode program + vocab; stateless per request."""
+
+    def __init__(self, cfg: CaptionKitConfig, params: Any, model, vocab):
+        import jax
+
+        from captionkit.decode.driver import make_decode_fn
+
+        self._jax = jax
+        self.cfg = cfg
+        self.vocab = vocab
+        self.params = params
+        self.batch = cfg.decode.batch_size
+        self.max_existing_len = cfg.data.max_existing_len
+        self.num_regions = cfg.model.num_regions
+        self.feat_dim = cfg.model.feat_dim
+        self._decode_fn = make_decode_fn(
+            model, cfg.decode, start_id=vocab.start, end_id=vocab.end,
+            pad_id=vocab.pad,
+        )
+
+    def run_batch(
+        self, feats: np.ndarray, captions: Sequence[str]
+    ) -> list[str]:
+        """feats [b, R, F], b <= self.batch; returns b edited captions.
+        The tail pads by repeating the last row (static shapes)."""
+        import jax.numpy as jnp
+
+        b = len(captions)
+        pad = self.batch - b
+        if pad:
+            feats = np.concatenate([feats] + [feats[-1:]] * pad, axis=0)
+        T = self.max_existing_len
+        ids = np.zeros((self.batch, T), np.int32)
+        lens = np.zeros((self.batch,), np.int32)
+        for i in range(self.batch):
+            cap = captions[min(i, b - 1)]
+            enc, ln = self.vocab.encode(cap.split(), max_len=T)
+            ids[i] = enc
+            lens[i] = ln
+        tokens = np.asarray(self._jax.device_get(self._decode_fn(
+            self.params, jnp.asarray(feats.astype(np.float32)),
+            jnp.asarray(ids), jnp.asarray(lens),
+            jnp.asarray(0, jnp.int32),
+        )))
+        return [self.vocab.decode_to_string(tokens[i]) for i in range(b)]
+
+
+def serve_stream(server: CaptionServer, in_stream, out_stream) -> int:
+    """Drive the JSON-lines protocol until EOF. Returns requests served."""
+    R, F = server.num_regions, server.feat_dim
+    pending: list[tuple] = []
+    served = 0
+
+    def emit(obj) -> None:
+        out_stream.write(json.dumps(obj) + "\n")
+        out_stream.flush()
+
+    def flush() -> None:
+        nonlocal served
+        if not pending:
+            return
+        feats = np.stack([p[1] for p in pending])
+        caps = [p[2] for p in pending]
+        for (rid, _, _), cap in zip(pending, server.run_batch(feats, caps)):
+            emit({"id": rid, "caption": cap})
+            served += 1
+        pending.clear()
+
+    emit({"ready": True, "batch": server.batch})
+    for line in in_stream:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            emit({"error": f"bad JSON: {e}"})
+            continue
+        if req.get("flush"):
+            flush()
+            continue
+        try:
+            if "features_inline" in req:
+                feats = np.asarray(req["features_inline"], np.float32)
+            else:
+                feats = np.load(req["features"]).astype(np.float32)
+        except Exception as e:  # bad path/payload answers, not crashes
+            emit({"id": req.get("id"), "error": f"features: {e}"})
+            continue
+        if feats.ndim == 3 and feats.shape[0] == 1:
+            feats = feats[0]
+        if feats.shape != (R, F):
+            emit({"id": req.get("id"),
+                  "error": f"features must be [{R}, {F}], "
+                           f"got {list(feats.shape)}"})
+            continue
+        pending.append((req.get("id"), feats, req.get("caption", "")))
+        if len(pending) >= server.batch:
+            flush()
+    flush()
+    return served
