@@ -1,10 +1,14 @@
 """Exactness of the fused decode-step cell kernels (ops/megastep.py) vs
 the jnp EditNet step (models/editnet._step_hidden) — interpret mode on
-CPU, unaligned dims so every padding path is exercised.
+CPU, unaligned dims so every padding path is exercised. Setting
+CAPTIONKIT_TEST_TPU=1 runs the same assertions compiled on the real
+chip (the test_ops_pallas on-chip gate convention).
 
 The fused path sums the same matmul contributions in a different fp32
 order (split matmuls vs packed contractions), so agreement is to ~1e-5
 relative at fp32, not bitwise."""
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +19,8 @@ from captionkit.models import editnet
 from captionkit.models.editnet import beam_expand, encode, init, init_state
 from captionkit.ops.megastep import fused_step_hidden, prepare_cell_pack
 from captionkit.utils.config import ModelConfig
+
+INTERPRET = os.environ.get("CAPTIONKIT_TEST_TPU", "0") != "1"
 
 CFG = dict(
     arch="editnet", vocab_size=30, emb_dim=12, hidden_dim=16, att_dim=8,
@@ -58,7 +64,7 @@ def test_fused_step_matches_jnp_step_chained(k):
         h_att, c_att, h_lang, c_lang = fused_step_hidden(
             pack, s_fused.h_att, s_fused.c_att, s_fused.h_lang,
             s_fused.c_lang, emb, num_regions=cfg.num_regions, compute_dtype=jnp.float32,
-            interpret=True)
+            interpret=INTERPRET)
         s_fused = s_fused.replace(
             h_att=h_att, c_att=c_att, h_lang=h_lang, c_lang=c_lang)
         for name in ("h_att", "c_att", "h_lang", "c_lang"):
@@ -84,7 +90,7 @@ def test_fused_step_respects_scma_mask():
     base = fused_step_hidden(
         pack, state.h_att, state.c_att, state.h_lang, state.c_lang, emb,
         num_regions=cfg.num_regions, compute_dtype=jnp.float32,
-        interpret=True)
+        interpret=INTERPRET)
     # Poison a masked (padded-length) memory slot; outputs must not move.
     mask = np.asarray(ctx.mask)
     b, t = None, None
@@ -100,7 +106,7 @@ def test_fused_step_respects_scma_mask():
     out2 = fused_step_hidden(
         poisoned, state.h_att, state.c_att, state.h_lang, state.c_lang,
         emb, num_regions=cfg.num_regions, compute_dtype=jnp.float32,
-        interpret=True)
+        interpret=INTERPRET)
     for a, c in zip(base, out2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-6, atol=1e-6)
@@ -117,7 +123,7 @@ def test_fused_step_bf16_tracks_jnp_bf16():
     h_att, c_att, h_lang, c_lang = fused_step_hidden(
         pack, state.h_att, state.c_att, state.h_lang, state.c_lang, emb,
         num_regions=cfg.num_regions, compute_dtype=jnp.bfloat16,
-        interpret=True)
+        interpret=INTERPRET)
     for a, b in zip((s_ref.h_att, s_ref.c_att, s_ref.h_lang,
                      s_ref.c_lang), (h_att, c_att, h_lang, c_lang)):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
@@ -192,7 +198,7 @@ def test_dcnet_fused_step_matches_jnp_step_chained(k):
         emb = params.embedding[tok]
         h, c = dcnet_fused_step_hidden(
             pack, s_fused.h, s_fused.c, emb,
-            compute_dtype=jnp.float32, interpret=True)
+            compute_dtype=jnp.float32, interpret=INTERPRET)
         s_fused = s_fused.replace(h=h, c=c)
         np.testing.assert_allclose(
             np.asarray(s_fused.h), np.asarray(s_ref.h),
