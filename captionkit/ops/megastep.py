@@ -341,7 +341,7 @@ def fused_step_hidden(
     Nb = G * K
     grid = (B // G,)
 
-    rows = lambda width, dtype=jnp.float32: pl.BlockSpec(
+    rows = lambda width: pl.BlockSpec(
         (Nb, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
     imgs = lambda d1, d2: pl.BlockSpec(
         (G, d1, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -399,3 +399,30 @@ def test_beam_max_len_one(impl):
                       end_id=END, pad_id=PAD, max_len=1, impl=impl)
     assert res.tokens.shape == (3, 1)
     assert (np.asarray(res.lengths) <= 1).all()
+
+
+def test_beam_impls_equivalence_fuzz():
+    """Randomized equivalence sweep: the two history layouts must agree
+    on every BeamResult surface across model/beam/length-penalty draws
+    (bounded: 5 draws, tiny models)."""
+    rng = np.random.default_rng(123)
+    for trial in range(5):
+        arch = ["dcnet", "editnet"][int(rng.integers(2))]
+        K = int(rng.integers(1, 5))
+        L = int(rng.integers(2, 9))
+        lp = float(rng.choice([0.0, 0.7, 1.0]))
+        seed = int(rng.integers(1000))
+        cfg, model, params, ctx = _setup(arch, batch=3, seed=seed)
+        res = {}
+        for impl in ("register", "backptr"):
+            res[impl] = beam_search(
+                model, params, ctx, beam_size=K, start_id=START,
+                end_id=END, pad_id=PAD, max_len=L, length_penalty=lp,
+                impl=impl)
+        for field in ("tokens", "scores", "lengths", "all_tokens",
+                      "all_scores", "all_lengths"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(res["register"], field)),
+                np.asarray(getattr(res["backptr"], field)),
+                err_msg=f"trial {trial} ({arch} K={K} L={L} lp={lp} "
+                        f"seed={seed}): {field}")
