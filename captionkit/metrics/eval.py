@@ -65,12 +65,20 @@ class CaptionEvaluator:
         if self.use_external:
             from captionkit.metrics import external
 
-            for name, scorer in external.available_scorers().items():
+            scorers = external.available_scorers()
+            for name, scorer in scorers.items():
                 try:
                     out[name] = scorer(references, hypotheses)
                 except Exception:  # jar run failed — metric stays absent
                     log.warning("external scorer %s failed", name,
                                 exc_info=True)
+            if "METEOR" not in out:
+                # No jar/JVM on this host: report the in-process
+                # approximation under its own honest key (exact+stem
+                # stages only — see metrics/meteor.py for what it omits).
+                from captionkit.metrics.meteor import meteor_lite
+
+                out["METEOR-lite"], _ = meteor_lite(hyp_tok, ref_tok)
         return out
 
 

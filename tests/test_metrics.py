@@ -173,3 +173,118 @@ def test_rouge_l_independent_prec_rec_maxima():
     # prec_max = max(1/2 vs [a], 2/2 vs long) = 1.0
     # rec_max  = max(1/1 vs [a], 2/4 vs long) = 1.0  -> F = 1.0
     assert abs(rouge_l([hyp], [refs]) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------- METEOR-lite
+
+
+class _StubWordnet:
+    """Empty wordnet: restricts nltk's METEOR to its exact+stem stages,
+    which is exactly the METEOR-lite surface (metrics/meteor.py)."""
+
+    @staticmethod
+    def synsets(word):
+        return []
+
+
+def _nltk_segment(hyp, refs):
+    from nltk.stem.porter import PorterStemmer
+    from nltk.translate.meteor_score import meteor_score
+
+    return meteor_score(
+        refs, hyp, stemmer=PorterStemmer(), wordnet=_StubWordnet()
+    )
+
+
+def test_meteor_lite_matches_nltk_exact_stem():
+    """Segment scores are bit-identical to nltk's meteor_score restricted
+    to exact+stem matching (the module's documented oracle)."""
+    from captionkit.metrics.meteor import meteor_lite_segment
+
+    cases = [
+        ("the cat sat on the mat".split(),
+         ["the cat was sat on the mat".split()]),
+        ("running dogs jumped over fences".split(),
+         ["run dog jump over a fence".split()]),
+        ("a b c".split(), ["x y z".split()]),  # zero matches
+        ("a man riding a horse".split(),
+         ["a person rides a horse".split(),
+          "a man riding a horse on the beach".split()]),
+        ("the the the".split(), ["the cat the".split()]),  # duplicates
+    ]
+    for hyp, refs in cases:
+        ours, _ = meteor_lite_segment(hyp, refs)
+        theirs = _nltk_segment(hyp, refs)
+        assert abs(ours - theirs) < 1e-12, (hyp, refs, ours, theirs)
+
+
+def test_meteor_lite_matches_nltk_randomized():
+    """Randomized sweep over small vocabularies (forcing duplicate words
+    and stem-only matches) against the nltk oracle."""
+    import random
+
+    from captionkit.metrics.meteor import meteor_lite_segment
+
+    rng = random.Random(0)
+    vocab = ["dog", "dogs", "run", "running", "cat", "sat", "a", "the",
+             "park", "parks", "jump", "jumped"]
+    for _ in range(60):
+        hyp = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        refs = [
+            [rng.choice(vocab) for _ in range(rng.randint(1, 14))]
+            for _ in range(rng.randint(1, 3))
+        ]
+        ours, _ = meteor_lite_segment(hyp, refs)
+        theirs = _nltk_segment(hyp, refs)
+        assert abs(ours - theirs) < 1e-12, (hyp, refs, ours, theirs)
+
+
+def test_meteor_lite_perfect_and_fragmented():
+    from captionkit.metrics.meteor import meteor_lite_segment, segment_stats
+
+    hyp = "a man rides a horse".split()
+    score, st = meteor_lite_segment(hyp, [hyp])
+    # Perfect match: P=R=1, Fmean=1, one chunk, penalty=0.5*(1/5)^3
+    assert abs(score - (1 - 0.5 * (1 / 5) ** 3)) < 1e-12
+    assert st.chunks == 1
+    # Fully fragmented alignment: same unigrams, reversed order.
+    st2 = segment_stats("a b c d".split(), "d c b a".split())
+    assert st2.matches == 4 and st2.chunks == 4
+
+
+def test_meteor_lite_corpus_aggregation():
+    """Corpus score applies the formula to summed best-ref stats (not the
+    mean of segment scores) — hand-checked here."""
+    from captionkit.metrics.meteor import (
+        _formula,
+        meteor_lite,
+        meteor_lite_segment,
+    )
+
+    hyps = ["a cat on a mat".split(), "dogs running fast".split()]
+    refs = [
+        ["a cat sat on a mat".split()],
+        ["a dog runs very fast".split(), "dogs run fast".split()],
+    ]
+    corpus, per = meteor_lite(hyps, refs)
+    assert len(per) == 2
+    m = h = r = c = 0
+    for hyp, rr in zip(hyps, refs):
+        _, st = meteor_lite_segment(hyp, rr)
+        m += st.matches
+        h += st.hyp_len
+        r += st.ref_len
+        c += st.chunks
+    assert abs(corpus - _formula(m, h, r, c)) < 1e-12
+
+
+def test_evaluator_reports_meteor_lite_without_jar(monkeypatch):
+    """With no jar/JVM the evaluator reports METEOR-lite; the real METEOR
+    key stays reserved for the jar adapter."""
+    monkeypatch.delenv("CAPTIONKIT_METEOR_JAR", raising=False)
+    out = evaluate_captions(
+        {1: ["a dog runs in the park"]}, {1: "a dog running in the park"}
+    )
+    if "METEOR" not in out:  # no jar on this host (the normal case here)
+        assert "METEOR-lite" in out
+        assert 0.0 < out["METEOR-lite"] <= 1.0
