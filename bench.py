@@ -51,6 +51,30 @@ def _cpu_denominator(beam: int, max_len: int, smoke: bool) -> float:
         return float(json.load(f)["captions_per_sec"])
 
 
+def _probe_backend(timeout_s: float) -> str | None:
+    """Initialize the JAX backend in a THROWAWAY subprocess first.
+
+    On this host the device is reached through a tunnel whose outages make
+    PJRT client creation block forever (not error). Importing jax in-process
+    would then hang this benchmark indefinitely with no diagnostic; a probe
+    child can be killed by timeout. Returns None when the backend comes up,
+    else a one-line diagnosis. Skip with CAPTIONKIT_BENCH_NO_PROBE=1.
+    """
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True, cwd=REPO,
+        )
+        return None
+    except subprocess.TimeoutExpired:
+        return (f"device backend init still blocked after {timeout_s:.0f}s "
+                "— device tunnel down? (set CAPTIONKIT_BENCH_NO_PROBE=1 "
+                "to bypass this check)")
+    except subprocess.CalledProcessError as e:
+        tail = (e.stderr or b"").decode(errors="replace")[-400:]
+        return f"device backend init failed: {tail}"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -80,6 +104,13 @@ def main() -> int:
     args = ap.parse_args()
     if args.smoke:
         args.images, args.batch = 128, 64
+
+    if os.environ.get("CAPTIONKIT_BENCH_NO_PROBE", "0") != "1":
+        diag = _probe_backend(timeout_s=float(
+            os.environ.get("CAPTIONKIT_BENCH_PROBE_TIMEOUT", "240")))
+        if diag is not None:
+            print(f"bench.py: {diag}", file=sys.stderr)
+            return 2
 
     import jax
     import jax.numpy as jnp
