@@ -26,6 +26,7 @@ import jax
 
 from captionkit.utils.config import (
     CaptionKitConfig,
+    ModelConfig,
     get_named_config,
     list_named_configs,
 )
@@ -285,6 +286,44 @@ def _load_name_map(path):
 def cmd_convert(args) -> int:
     from captionkit.convert.torch_import import convert_torch_checkpoint
 
+    if args.fit_names:
+        import dataclasses
+
+        from captionkit.convert.fit_names import fit_params_from_state_dict
+        from captionkit.convert.torch_import import load_torch_state_dict
+        from captionkit.train.checkpoint import save_params_npz
+
+        base = get_named_config(args.config) if args.config else None
+        if base is not None:
+            mcfg = _apply_overrides(base, args.set).model
+        elif args.set:
+            mcfg = _apply_overrides(
+                get_named_config(
+                    "editnet_beam5" if args.arch == "editnet"
+                    else "dcnet_beam5"),
+                args.set,
+            ).model
+        else:
+            mcfg = ModelConfig(arch=args.arch)
+        if mcfg.arch != args.arch:
+            mcfg = dataclasses.replace(mcfg, arch=args.arch)
+        raw = load_torch_state_dict(args.torch)
+        params, fit = fit_params_from_state_dict(
+            raw, args.arch, mcfg, candidate=args.fit_candidate)
+        save_params_npz(params, args.out)
+        print(f"wrote {args.out} (fit candidate {args.fit_candidate} of "
+              f"{len(fit.candidates)})")
+        for n in fit.notes:
+            print(f"  note: {n}")
+        if args.fit_report:
+            with open(args.fit_report, "w") as f:
+                json.dump({"translation": fit.translation,
+                           "alternates": fit.alternates,
+                           "notes": fit.notes,
+                           "unmatched_raw": fit.unmatched_raw}, f, indent=2)
+            print(f"fit report: {args.fit_report}")
+        return 0
+
     out = convert_torch_checkpoint(
         args.torch, args.arch, args.out,
         name_map=_load_name_map(args.name_map),
@@ -319,6 +358,7 @@ def cmd_parity_gate(args) -> int:
         max_images=args.max_images,
         out_params_path=args.out,
         expected_captions=expected_captions,
+        fit_names=args.fit_names,
     )
     print(json.dumps(report, indent=2, default=str))
     return 0 if report["ok"] else 1
@@ -415,6 +455,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--name-map", dest="name_map",
                     help="JSON overrides for the checkpoint module-name "
                          "table (see convert.torch_import.DEFAULT_NAME_MAPS)")
+    sp.add_argument("--fit-names", dest="fit_names", action="store_true",
+                    help="infer the checkpoint layout from parameter "
+                         "shapes (convert.fit_names) instead of the name "
+                         "map; dims come from --config (default: the "
+                         "arch's paper-scale defaults)")
+    sp.add_argument("--config", default="",
+                    help="named config supplying model dims for --fit-names")
+    sp.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="dotted config overrides for --fit-names dims, "
+                         "e.g. model.hidden_dim=512")
+    sp.add_argument("--fit-candidate", dest="fit_candidate", type=int,
+                    default=0,
+                    help="which ranked fit to convert (0 = best; see "
+                         "--fit-report for the alternates)")
+    sp.add_argument("--fit-report", dest="fit_report",
+                    help="write the fitted translation + alternates + "
+                         "notes as JSON here")
 
     sp = sub.add_parser(
         "parity-gate",
@@ -437,6 +494,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-images", dest="max_images", type=int,
                     help="cap greedy-identical comparison size")
     sp.add_argument("--out", help="also write converted params .npz here")
+    sp.add_argument("--fit-names", dest="fit_names", action="store_true",
+                    help="infer the checkpoint layout from shapes and "
+                         "sweep the ranked candidate fits through the "
+                         "gate (decisive only with --expected-cider or "
+                         "--expected-captions)")
     return p
 
 

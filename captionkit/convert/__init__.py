@@ -3,6 +3,10 @@
 * ``torch_import`` — convert a torch checkpoint's state_dict into
   captionkit parameter pytrees / .npz (the fidelity path for released
   reference checkpoints [B]).
+* ``fit_names`` — infer an unknown checkpoint's module layout from
+  parameter shapes alone (hint-ranked, ambiguity-enumerating); feeds
+  ``torch_import`` and the parity gate's candidate sweep so fitting a
+  real released checkpoint needs no by-hand name map.
 * ``torch_ref`` — torch (CPU) twin implementations of DCNet/EditNet with
   tutorial-family module naming. They serve two purposes while the real
   reference artifacts are unavailable (empty mount, SURVEY.md §0):

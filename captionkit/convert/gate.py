@@ -113,9 +113,74 @@ def run_parity_gate(
     max_images: Optional[int] = None,
     out_params_path: Optional[str] = None,
     expected_captions: Optional[Mapping[int, str]] = None,
+    fit_names: bool = False,
 ) -> dict:
     """Run the full gate; returns a JSON-able report with per-check status
-    and overall "ok"."""
+    and overall "ok".
+
+    With ``fit_names=True`` the checkpoint layout is inferred from shapes
+    (convert.fit_names) and the gate sweeps the ranked candidate fits,
+    returning the first that passes. NOTE: candidates differ only in
+    shape-tied assignments, and the torch twin is built from the SAME
+    fitted translation — so without external evidence (--expected-cider
+    or --expected-captions) a wrong-but-consistent candidate passes the
+    twin check; the report carries a warning in that case.
+    """
+    raw = load_torch_state_dict(ckpt_path)
+    kw = dict(expected_cider=expected_cider, cider_tol=cider_tol,
+              max_images=max_images, out_params_path=out_params_path,
+              expected_captions=expected_captions)
+    if not fit_names:
+        return _gate_once(ckpt_path, raw, cfg, dataset, name_map=name_map,
+                          **kw)
+
+    from captionkit.convert.fit_names import (
+        fit_translation,
+        state_dict_shapes,
+        translate_state_dict,
+    )
+
+    fit = fit_translation(state_dict_shapes(raw), cfg.model.arch, cfg.model)
+    decisive = (expected_cider is not None
+                or expected_captions is not None)
+    reports = []
+    for i, trans in enumerate(fit.candidates):
+        rep = _gate_once(ckpt_path, translate_state_dict(raw, trans),
+                         cfg, dataset, name_map=None, **kw)
+        rep["fit"] = {
+            "candidate": i,
+            "of": len(fit.candidates),
+            "translation": trans,
+        }
+        if len(fit.candidates) > 1 and not decisive:
+            rep["fit"]["warning"] = (
+                "shape-tied alternates exist but no --expected-cider / "
+                "--expected-captions was given: the twin check cannot "
+                "distinguish them (it runs the same fitted layout)"
+            )
+        if rep["ok"]:
+            rep["fit"]["notes"] = fit.notes
+            return rep
+        reports.append(rep)
+    best = reports[0]
+    best["fit"]["notes"] = fit.notes
+    best["fit"]["all_candidates_failed"] = True
+    return best
+
+
+def _gate_once(
+    ckpt_path: str,
+    raw: Mapping[str, object],
+    cfg,
+    dataset,
+    *,
+    name_map: Optional[Mapping[str, object]] = None,
+    expected_cider: Optional[float] = None,
+    cider_tol: float = 0.2,
+    max_images: Optional[int] = None,
+    out_params_path: Optional[str] = None,
+    expected_captions: Optional[Mapping[int, str]] = None,
+) -> dict:
     import jax.numpy as jnp
 
     from captionkit.decode import greedy_decode
@@ -128,7 +193,6 @@ def run_parity_gate(
     vocab = dataset.vocab
 
     # -- 1. convert ---------------------------------------------------------
-    raw = load_torch_state_dict(ckpt_path)
     try:
         params = params_from_state_dict(raw, cfg.model.arch, name_map)
     except (KeyError, ValueError) as e:

@@ -291,3 +291,96 @@ def test_parity_gate_expected_captions_key_by_real_image_ids(
     chk = report["checks"]["greedy_expected"]
     assert chk["status"] == "fail"
     assert chk["compared"] == 0
+
+
+# --------------------------------------------------- fit-names gate sweep
+
+
+def _scramble_editnet(sd):
+    """Destroy every module AND leaf name (the worst-case real layout)."""
+    mapping = {
+        "vis_attention.encoder_att": "blk3.u0",
+        "vis_attention.decoder_att": "blk3.u1",
+        "vis_attention.full_att": "blk3.u2",
+        "scma.encoder_att": "blk5.u0",
+        "scma.decoder_att": "blk5.u1",
+        "scma.full_att": "blk5.u2",
+        "lang_lstm.base": "blk6.cell",
+        "lang_lstm": "blk6",
+        "embedding": "blk0", "encoder": "blk1", "att_lstm": "blk2",
+        "f_beta": "blk4", "fc": "blk7",
+    }
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for old, new in sorted(mapping.items(), key=lambda x: -len(x[0])):
+            if nk == old or nk.startswith(old + "."):
+                nk = new + nk[len(old):]
+                break
+        out[nk] = v
+    return out
+
+
+def test_parity_gate_fit_names_sweep_decided_by_published(tmp_path, synth,
+                                                          twin):
+    """The full run-book: a checkpoint with unknown names is shape-fitted,
+    ambiguous assignments are swept, and the published-captions check
+    picks the true layout (the twin check alone cannot — it runs the same
+    fitted translation on both sides)."""
+    from captionkit.convert.gate import _twin_greedy, run_parity_gate
+
+    scrambled = _scramble_editnet(twin.state_dict())
+    ckpt = tmp_path / "scrambled.pth"
+    torch.save(scrambled, ckpt)
+    cfg = _gate_cfg(len(synth.vocab))
+
+    ds = synth.dataset.eval_view()
+    vocab = synth.vocab
+    seqs = _twin_greedy(
+        twin, "editnet",
+        np.asarray(ds.features, np.float32), np.asarray(ds.existing),
+        np.asarray(ds.existing_len),
+        start_id=vocab.start, end_id=vocab.end, max_len=12,
+    )
+    published = {
+        int(np.asarray(ds.image_index[b])): vocab.decode_to_string(seqs[b])
+        for b in range(len(seqs))
+    }
+
+    report = run_parity_gate(
+        str(ckpt), cfg, synth.dataset, fit_names=True,
+        expected_captions=published,
+    )
+    assert report["ok"] is True, report
+    assert report["checks"]["greedy_expected"]["status"] == "pass"
+    assert report["fit"]["of"] == 4  # scma enc/dec x weight_rh/rc ties
+    assert "warning" not in report["fit"]
+
+    # Without external evidence the sweep must WARN that shape-tied
+    # alternates are indistinguishable.
+    blind = run_parity_gate(str(ckpt), cfg, synth.dataset, fit_names=True)
+    assert blind["ok"] is True
+    assert "warning" in blind["fit"]
+
+
+def test_convert_cli_fit_names(tmp_path, capsys, twin, synth):
+    from captionkit.cli import main
+
+    scrambled = _scramble_editnet(twin.state_dict())
+    ckpt = tmp_path / "scrambled.pth"
+    torch.save(scrambled, ckpt)
+    out = tmp_path / "params.npz"
+    rep = tmp_path / "fit.json"
+    rc = main([
+        "convert", "--torch", str(ckpt), "--arch", "editnet",
+        "--out", str(out), "--fit-names", "--fit-report", str(rep),
+        "--set", f"model.vocab_size={len(synth.vocab)}",
+        "--set", f"model.emb_dim={E}", "--set", f"model.hidden_dim={H}",
+        "--set", f"model.att_dim={A}", "--set", f"model.feat_dim={F}",
+        "--set", f"model.num_regions={R}",
+    ])
+    assert rc == 0
+    assert out.exists()
+    blob = json.loads(rep.read_text())
+    assert len(blob["alternates"]) == 3
+    assert blob["unmatched_raw"] == []
