@@ -293,6 +293,7 @@ def cmd_convert(args) -> int:
         from captionkit.convert.torch_import import load_torch_state_dict
         from captionkit.train.checkpoint import save_params_npz
 
+        raw = load_torch_state_dict(args.torch)
         base = get_named_config(args.config) if args.config else None
         if base is not None:
             mcfg = _apply_overrides(base, args.set).model
@@ -304,10 +305,16 @@ def cmd_convert(args) -> int:
                 args.set,
             ).model
         else:
-            mcfg = ModelConfig(arch=args.arch)
+            from captionkit.convert.fit_names import (
+                infer_dims,
+                state_dict_shapes,
+            )
+
+            dims = infer_dims(state_dict_shapes(raw), args.arch)
+            print(f"inferred dims: {dims}")
+            mcfg = ModelConfig(arch=args.arch, **dims)
         if mcfg.arch != args.arch:
             mcfg = dataclasses.replace(mcfg, arch=args.arch)
-        raw = load_torch_state_dict(args.torch)
         params, fit = fit_params_from_state_dict(
             raw, args.arch, mcfg, candidate=args.fit_candidate)
         save_params_npz(params, args.out)

@@ -472,6 +472,49 @@ def fit_translation(
     )
 
 
+def infer_dims(shapes: Mapping[str, Shape], arch: str) -> dict[str, int]:
+    """Recover (V, E, H, A, F) from checkpoint shapes alone, so the whole
+    fit can run with zero configuration.
+
+    Anchors, all structural (no names): every LSTM unit exposes H via its
+    recurrent weight ([4H, H] next to [4H, in]); full_att's [1, A] gives
+    A; the embedding is the lone 2D [V, E] whose first dim reappears as a
+    Linear-with-bias out-dim at in-dim H (the fc head); EditNet's F falls
+    out of the att-LSTM input width E+F+H (the widest LSTM input).
+    """
+    vals = list(shapes.values())
+    two_d = [s for s in vals if len(s) == 2]
+    # H: out-dims G that are 4x SOME 2D in-dim with matching [G, G/4].
+    hs = {s[0] // 4 for s in two_d
+          if s[0] % 4 == 0 and (s[0], s[0] // 4) in set(two_d)}
+    # keep H values that look like real LSTM units (a 1D bias [4H] exists)
+    one_d = {s[0] for s in vals if len(s) == 1}
+    hs = {h for h in hs if 4 * h in one_d}
+    if not hs:
+        raise FitError("no LSTM-shaped unit found — cannot infer H")
+    a_cands = {s[1] for s in two_d if s[0] == 1}
+    if len(a_cands) != 1:
+        raise FitError(f"cannot infer att_dim: [1, A] rows give {a_cands}")
+    A = a_cands.pop()
+    for H in sorted(hs, reverse=True):
+        # fc: [V, H] with a [V] bias; embedding: [V, E] elsewhere.
+        v_cands = {s[0] for s in two_d if s[1] == H and s[0] in one_d
+                   and s[0] not in (A, H, 4 * H)}
+        for V in sorted(v_cands, reverse=True):
+            e_cands = [s[1] for s in two_d
+                       if s[0] == V and s[1] != H] or [H]
+            E = e_cands[0]
+            dims = dict(vocab_size=V, emb_dim=E, hidden_dim=H, att_dim=A)
+            if arch == "editnet":
+                widths = sorted(s[1] for s in two_d if s[0] == 4 * H)
+                F = widths[-1] - E - H
+                if F <= 0:
+                    continue
+                dims["feat_dim"] = F
+            return dims
+    raise FitError("could not infer (V, E, H) from the checkpoint shapes")
+
+
 def state_dict_shapes(raw: Mapping[str, object]) -> dict[str, Shape]:
     """Float-tensor shapes of a (torch or numpy) state dict."""
     out = {}

@@ -248,3 +248,49 @@ def test_wrong_dims_raise_fit_error():
     with pytest.raises(FitError):
         fit_translation(state_dict_shapes(tmodel.state_dict()),
                         "dcnet", bad)
+
+
+def test_infer_dims_editnet_distinct():
+    from captionkit.convert.fit_names import infer_dims
+
+    torch.manual_seed(6)
+    tmodel = TorchEditNet(V, E, H, A, F).eval()
+    dims = infer_dims(state_dict_shapes(tmodel.state_dict()), "editnet")
+    assert dims == dict(vocab_size=V, emb_dim=E, hidden_dim=H, att_dim=A,
+                        feat_dim=F)
+
+
+def test_infer_dims_editnet_emb_eq_hidden():
+    """Paper scale has E == H: the embedding and fc are both [V, H] and E
+    falls back to H correctly."""
+    from captionkit.convert.fit_names import infer_dims
+
+    torch.manual_seed(6)
+    tmodel = TorchEditNet(V, H, H, A, F).eval()
+    dims = infer_dims(state_dict_shapes(tmodel.state_dict()), "editnet")
+    assert dims == dict(vocab_size=V, emb_dim=H, hidden_dim=H, att_dim=A,
+                        feat_dim=F)
+
+
+def test_infer_dims_dcnet():
+    from captionkit.convert.fit_names import infer_dims
+
+    torch.manual_seed(6)
+    tmodel = TorchDCNet(V, E, H, A).eval()
+    dims = infer_dims(state_dict_shapes(tmodel.state_dict()), "dcnet")
+    assert dims == dict(vocab_size=V, emb_dim=E, hidden_dim=H, att_dim=A)
+
+
+def test_zero_config_fit_end_to_end():
+    """Fit + convert with NOTHING but the checkpoint: dims inferred, names
+    fitted, logits identical."""
+    from captionkit.convert.fit_names import infer_dims
+
+    torch.manual_seed(8)
+    tmodel = TorchEditNet(V, E, H, A, F).eval()
+    raw = _rename(tmodel.state_dict(), SCRAMBLE_EDITNET)
+    dims = infer_dims(state_dict_shapes(raw), "editnet")
+    mcfg = ModelConfig(arch="editnet", num_regions=R, dropout=0.0,
+                       compute_dtype="float32", **dims)
+    params, fit = fit_params_from_state_dict(raw, "editnet", mcfg)
+    assert _editnet_logits_parity(tmodel, params, mcfg)
