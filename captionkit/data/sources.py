@@ -149,6 +149,38 @@ class CaptionDataset:
             image_ids=self.image_ids,
         )
 
+    def shard(self, num_shards: int, index: int) -> "CaptionDataset":
+        """Strided row partition for multi-host data parallelism.
+
+        Process ``index`` of ``num_shards`` (``jax.process_index()`` /
+        ``jax.process_count()`` under jax.distributed) sees rows
+        ``index::num_shards`` — round-robin, so caption-length buckets
+        stay uniformly distributed across hosts. The feature store,
+        reference captions, and image-id table are shared views (rows
+        gather through ``image_index`` lazily), so sharding never copies
+        feature data. Shard the TRAINING layout for per-host input
+        pipelines; shard ``eval_view()`` to split a decode across hosts
+        (each host's results JSON keys by the real image ids, so shards
+        concatenate trivially).
+        """
+        if not 0 <= index < num_shards:
+            raise ValueError(
+                f"shard index {index} outside [0, {num_shards})"
+            )
+        sel = np.arange(index, self.size, num_shards)
+        return CaptionDataset(
+            features=self.features,
+            existing=self.existing[sel],
+            existing_len=self.existing_len[sel],
+            target=None if self.target is None else self.target[sel],
+            target_len=(None if self.target_len is None
+                        else self.target_len[sel]),
+            image_index=self.image_index[sel],
+            vocab=self.vocab,
+            references=self.references,
+            image_ids=self.image_ids,
+        )
+
     def batches(
         self,
         batch_size: int,

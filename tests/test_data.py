@@ -241,3 +241,36 @@ def test_from_reference_files_reconstructs_references(tmp_path):
     assert ds.references is not None and len(ds.references) == 2
     assert ds.references[0] == [["a", "dog", "runs"], ["a", "cat", "sits"]]
     assert ds.references[1] == [["a", "dog", "sits"], ["a", "cat", "runs"]]
+
+
+def test_shard_partitions_rows_exactly():
+    """Multi-host DP input sharding: the shards are a disjoint, exhaustive,
+    round-robin partition of rows, sharing (not copying) the feature and
+    reference tables."""
+    src = SyntheticCaptionSource(num_images=11, captions_per_image=2,
+                                 num_regions=3, feat_dim=5, max_len=8,
+                                 seed=0)
+    ds = src.dataset
+    shards = [ds.shard(3, i) for i in range(3)]
+    assert [s.size for s in shards] == [8, 7, 7]  # 22 rows, diff <= 1
+    # exhaustive + disjoint: every original row appears in exactly one shard
+    seen = np.concatenate([
+        np.arange(i, ds.size, 3) for i in range(3)
+    ])
+    assert sorted(seen.tolist()) == list(range(ds.size))
+    for i, s in enumerate(shards):
+        np.testing.assert_array_equal(s.existing, ds.existing[i::3])
+        np.testing.assert_array_equal(s.image_index, ds.image_index[i::3])
+        assert s.features is ds.features  # shared view, no copy
+        assert s.references is ds.references
+    # eval_view shards decode work per host
+    ev = ds.eval_view()
+    ev_shards = [ev.shard(2, i) for i in range(2)]
+    assert ev_shards[0].size + ev_shards[1].size == ev.size
+    # shards still batch with static shapes
+    b = next(iter(shards[0].batches(4, feat_shape=(3, 5))))
+    assert b.existing.shape == (4, 8)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ds.shard(3, 3)
