@@ -95,6 +95,10 @@ def main() -> int:
     ap.add_argument("--cell-impl", choices=["xla", "pallas"],
                     default=None, help="override ModelConfig.cell_impl "
                     "(fused decode-step cell kernels, ops/megastep.py)")
+    ap.add_argument("--head-quant", choices=["none", "int8"],
+                    default=None, help="override ModelConfig.head_quant "
+                    "(int8-quantized fused head — serving knob; decode "
+                    "output is approximate, so never the headline number)")
     ap.add_argument("--profile", default="",
                     help="dump a jax.profiler trace of the timed region")
     ap.add_argument("--streaming", action="store_true",
@@ -126,6 +130,8 @@ def main() -> int:
     over = {} if args.head_impl is None else {"head_impl": args.head_impl}
     if args.cell_impl is not None:
         over["cell_impl"] = args.cell_impl
+    if args.head_quant is not None:
+        over["head_quant"] = args.head_quant
     mcfg = ModelConfig(arch=args.arch, dropout=0.0, **over, **PAPER)
     model = get_model(mcfg)
     params = model.init(jax.random.PRNGKey(0))

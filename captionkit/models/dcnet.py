@@ -66,8 +66,10 @@ class DCNetContext:
     features: Optional[jax.Array] = None  # [B, R, F] when visual is on
     vis_keys: Optional[jax.Array] = None  # [B, R, A]
     # Pre-padded fused-head weights (prepare_topk; see editnet.py).
-    head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype
+    head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype (or int8)
     head_b: Optional[jax.Array] = None  # [Vp] fp32, padding = -1e30
+    # Per-column dequant scales when cfg.head_quant == "int8".
+    head_scale: Optional[jax.Array] = None  # [Vp] fp32
     # Fused decode-cell pack (ops.megastep.DCNetCellPack), stashed by
     # prepare_topk when cfg.cell_impl == "pallas" (textual config only).
     cell_pack: Optional[Any] = None
@@ -344,24 +346,11 @@ def step_topk(
     k: int,
 ) -> tuple[DCNetState, jax.Array, jax.Array, jax.Array]:
     """Decode step with the fused vocab head (captionkit.ops.head)."""
+    from captionkit.models.editnet import _head_topk
+
     new_state, out = _step_hidden(params, cfg, ctx, state, token, None,
                                   False)
-    if cfg.head_impl == "xla":
-        from captionkit.ops.head import xla_head_topk
-
-        vals, idx, lse = xla_head_topk(
-            out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg)
-        )
-    else:
-        from captionkit.ops import pallas_supported
-        from captionkit.ops.head import fused_head_topk
-
-        w = params.fc_w if ctx.head_w is None else ctx.head_w
-        b = params.fc_b if ctx.head_b is None else ctx.head_b
-        vals, idx, lse = fused_head_topk(
-            out, w, b, k=k, compute_dtype=_cdt(cfg),
-            interpret=not pallas_supported(),
-        )
+    vals, idx, lse = _head_topk(params, cfg, ctx, out, k)
     return new_state, vals, idx, lse
 
 
@@ -380,11 +369,18 @@ def prepare_topk(
 
         ctx = ctx.replace(cell_pack=prepare_dcnet_cell_pack(params, cfg,
                                                             ctx))
+    n_rows = ctx.h0.shape[0]
+    if cfg.head_quant == "int8":
+        from captionkit.ops.head import quantize_head
+
+        w_q, scale, b_p = quantize_head(
+            params.fc_w, params.fc_b, n_rows=n_rows, k=k
+        )
+        return ctx.replace(head_w=w_q, head_b=b_p, head_scale=scale)
     if cfg.head_impl == "xla":
         return ctx
     from captionkit.ops.head import prepad_head
 
-    n_rows = ctx.h0.shape[0]
     w_p, b_p = prepad_head(
         params.fc_w, params.fc_b, n_rows=n_rows, k=k,
         compute_dtype=_cdt(cfg),

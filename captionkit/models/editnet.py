@@ -81,8 +81,11 @@ class EditNetContext:
     # Decode-loop-invariant fused-head weights, stashed by prepare_topk
     # (pre-padded to the kernel tile grid + pre-converted to compute
     # dtype) so the while_loop body's pad/convert become no-ops.
-    head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype
+    head_w: Optional[jax.Array] = None  # [H, Vp] compute dtype (or int8)
     head_b: Optional[jax.Array] = None  # [Vp] fp32, padding = -1e30
+    # Per-column dequant scales when cfg.head_quant == "int8" (head_w is
+    # then the int8-quantized weight from ops.head.quantize_head).
+    head_scale: Optional[jax.Array] = None  # [Vp] fp32
     # Fused decode-cell pack (ops.megastep.CellPack), stashed by
     # prepare_topk when cfg.cell_impl == "pallas": padded weights +
     # context for the two cell kernels, built once per decode batch.
@@ -463,11 +466,18 @@ def prepare_topk(
         from captionkit.ops.megastep import prepare_cell_pack
 
         ctx = ctx.replace(cell_pack=prepare_cell_pack(params, cfg, ctx))
+    n_rows = ctx.v_mean.shape[0]
+    if cfg.head_quant == "int8":
+        from captionkit.ops.head import quantize_head
+
+        w_q, scale, b_p = quantize_head(
+            params.fc_w, params.fc_b, n_rows=n_rows, k=k
+        )
+        return ctx.replace(head_w=w_q, head_b=b_p, head_scale=scale)
     if cfg.head_impl == "xla":
         return ctx
     from captionkit.ops.head import prepad_head
 
-    n_rows = ctx.v_mean.shape[0]
     w_p, b_p = prepad_head(
         params.fc_w, params.fc_b, n_rows=n_rows, k=k,
         compute_dtype=_cdt(cfg),
@@ -487,23 +497,47 @@ def step_topk(
     their vocab ids, log-sum-exp) without materializing [B, V] logits."""
     new_state, out = _step_hidden(params, cfg, ctx, state, token, None,
                                   False)
+    vals, idx, lse = _head_topk(params, cfg, ctx, out, k)
+    return new_state, vals, idx, lse
+
+
+def _head_topk(params, cfg, ctx, out, k):
+    """Dispatch the vocab-head top-k: float fused kernel (default), plain
+    XLA, or the int8-quantized twins of either (cfg.head_quant)."""
+    if cfg.head_quant == "int8":
+        from captionkit.ops import pallas_supported
+        from captionkit.ops.head import (
+            fused_head_topk_int8,
+            quantize_head,
+            xla_head_topk_int8,
+        )
+
+        if ctx.head_scale is None:  # topk without prepare: quantize inline
+            w_q, scale, b_p = quantize_head(
+                params.fc_w, params.fc_b, n_rows=out.shape[0], k=k
+            )
+        else:
+            w_q, scale, b_p = ctx.head_w, ctx.head_scale, ctx.head_b
+        if cfg.head_impl == "xla":
+            return xla_head_topk_int8(out, w_q, scale, b_p, k=k)
+        return fused_head_topk_int8(
+            out, w_q, scale, b_p, k=k, interpret=not pallas_supported()
+        )
     if cfg.head_impl == "xla":
         from captionkit.ops.head import xla_head_topk
 
-        vals, idx, lse = xla_head_topk(
+        return xla_head_topk(
             out, params.fc_w, params.fc_b, k=k, compute_dtype=_cdt(cfg)
         )
-    else:
-        from captionkit.ops import pallas_supported
-        from captionkit.ops.head import fused_head_topk
+    from captionkit.ops import pallas_supported
+    from captionkit.ops.head import fused_head_topk
 
-        w = params.fc_w if ctx.head_w is None else ctx.head_w
-        b = params.fc_b if ctx.head_b is None else ctx.head_b
-        vals, idx, lse = fused_head_topk(
-            out, w, b, k=k, compute_dtype=_cdt(cfg),
-            interpret=not pallas_supported(),
-        )
-    return new_state, vals, idx, lse
+    w = params.fc_w if ctx.head_w is None else ctx.head_w
+    b = params.fc_b if ctx.head_b is None else ctx.head_b
+    return fused_head_topk(
+        out, w, b, k=k, compute_dtype=_cdt(cfg),
+        interpret=not pallas_supported(),
+    )
 
 
 def make_model(cfg: ModelConfig) -> ModelDef:

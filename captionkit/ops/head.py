@@ -167,91 +167,125 @@ def _rowmax_argmax_f(x, base_iota_f):
     return m, idxf, jnp.min(idxf, axis=1)
 
 
+def _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
+                     run_vals, run_idx, run_m, run_s):
+    """Everything downstream of the logits tile, shared by the fp and the
+    int8-dequant kernels: online log-sum-exp, k extraction passes over the
+    tile, merge into the running top-k, final write on the last tile."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_vals[...] = jnp.full_like(run_vals, _NEG)
+        run_idx[...] = jnp.zeros_like(run_idx)
+        run_m[...] = jnp.full_like(run_m, _NEG)
+        run_s[...] = jnp.zeros_like(run_s)
+
+    # -- online log-sum-exp (flash-softmax update) -----------------------
+    tm = jnp.max(logits, axis=1, keepdims=True)  # [TN, 1]
+    m_old = run_m[...][:, :1]
+    m_new = jnp.maximum(m_old, tm)
+    s_old = run_s[...][:, :1]
+    s_new = s_old * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=1, keepdims=True
+    )
+    run_m[...] = jnp.broadcast_to(m_new, run_m.shape)
+    run_s[...] = jnp.broadcast_to(s_new, run_s.shape)
+
+    # -- tile top-k (k max/lowest-index passes, fp32 indices) ------------
+    tn = logits.shape[0]
+    colf = jax.lax.broadcasted_iota(jnp.int32, (tn, TV), 1).astype(
+        jnp.float32
+    )
+    tile = logits
+    t_vals, t_idxf = [], []
+    for _ in range(k):
+        m, idxf, amf = _rowmax_argmax_f(tile, colf)
+        t_vals.append(m)
+        t_idxf.append(amf + jnp.float32(j * TV))
+        # idxf == amf picks exactly the winning element (ties in the
+        # value resolve through the iota, which is unique per column)
+        tile = jnp.where(idxf == amf[:, None], _NEG, tile)
+
+    # -- merge running top-k with tile top-k -----------------------------
+    # Order matters for ties: running entries (earlier tiles / lower
+    # vocab ids) come first so lowest-index wins.
+    cand_vals = jnp.concatenate(
+        [run_vals[...][:, :k]] + [v[:, None] for v in t_vals], axis=1
+    )  # [TN, 2k]
+    cand_idx = jnp.concatenate(
+        [run_idx[...][:, :k]] + [i[:, None] for i in t_idxf], axis=1
+    )
+    posf = jax.lax.broadcasted_iota(
+        jnp.int32, cand_vals.shape, 1
+    ).astype(jnp.float32)
+    new_vals, new_idx = [], []
+    for _ in range(k):
+        m, pf, amf = _rowmax_argmax_f(cand_vals, posf)
+        sel = pf == amf[:, None]
+        new_vals.append(m)
+        new_idx.append(jnp.sum(jnp.where(sel, cand_idx, 0.0), axis=1))
+        cand_vals = jnp.where(sel, _NEG, cand_vals)
+    run_vals[...] = jnp.pad(
+        jnp.stack(new_vals, axis=1),
+        ((0, 0), (0, run_vals.shape[1] - k)),
+        constant_values=_NEG,
+    )
+    run_idx[...] = jnp.pad(
+        jnp.stack(new_idx, axis=1),
+        ((0, 0), (0, run_idx.shape[1] - k)),
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        vals_out[...] = run_vals[...][:, : vals_out.shape[1]]
+        idx_out[...] = run_idx[...][:, : idx_out.shape[1]].astype(
+            jnp.int32
+        )
+        m = run_m[...][:, :1]
+        s = run_s[...][:, :1]
+        lse_out[...] = jnp.broadcast_to(
+            m + jnp.log(s), lse_out.shape
+        )
+
+
 def _make_head_kernel(k: int, TV: int):
     def kernel(h_ref, w_ref, b_ref, vals_out, idx_out, lse_out,
                run_vals, run_idx, run_m, run_s):
-        j = pl.program_id(1)
-        nj = pl.num_programs(1)
-
-        @pl.when(j == 0)
-        def _():
-            run_vals[...] = jnp.full_like(run_vals, _NEG)
-            run_idx[...] = jnp.zeros_like(run_idx)
-            run_m[...] = jnp.full_like(run_m, _NEG)
-            run_s[...] = jnp.zeros_like(run_s)
-
         logits = (
             jnp.dot(h_ref[...], w_ref[...],
                     preferred_element_type=jnp.float32)
             + b_ref[...]
         )  # [TN, TV] fp32
+        _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
+                         run_vals, run_idx, run_m, run_s)
 
-        # -- online log-sum-exp (flash-softmax update) -----------------------
-        tm = jnp.max(logits, axis=1, keepdims=True)  # [TN, 1]
-        m_old = run_m[...][:, :1]
-        m_new = jnp.maximum(m_old, tm)
-        s_old = run_s[...][:, :1]
-        s_new = s_old * jnp.exp(m_old - m_new) + jnp.sum(
-            jnp.exp(logits - m_new), axis=1, keepdims=True
-        )
-        run_m[...] = jnp.broadcast_to(m_new, run_m.shape)
-        run_s[...] = jnp.broadcast_to(s_new, run_s.shape)
+    return kernel
 
-        # -- tile top-k (k max/lowest-index passes, fp32 indices) ------------
-        tn = logits.shape[0]
-        colf = jax.lax.broadcasted_iota(jnp.int32, (tn, TV), 1).astype(
-            jnp.float32
-        )
-        tile = logits
-        t_vals, t_idxf = [], []
-        for _ in range(k):
-            m, idxf, amf = _rowmax_argmax_f(tile, colf)
-            t_vals.append(m)
-            t_idxf.append(amf + jnp.float32(j * TV))
-            # idxf == amf picks exactly the winning element (ties in the
-            # value resolve through the iota, which is unique per column)
-            tile = jnp.where(idxf == amf[:, None], _NEG, tile)
 
-        # -- merge running top-k with tile top-k -----------------------------
-        # Order matters for ties: running entries (earlier tiles / lower
-        # vocab ids) come first so lowest-index wins.
-        cand_vals = jnp.concatenate(
-            [run_vals[...][:, :k]] + [v[:, None] for v in t_vals], axis=1
-        )  # [TN, 2k]
-        cand_idx = jnp.concatenate(
-            [run_idx[...][:, :k]] + [i[:, None] for i in t_idxf], axis=1
-        )
-        posf = jax.lax.broadcasted_iota(
-            jnp.int32, cand_vals.shape, 1
-        ).astype(jnp.float32)
-        new_vals, new_idx = [], []
-        for _ in range(k):
-            m, pf, amf = _rowmax_argmax_f(cand_vals, posf)
-            sel = pf == amf[:, None]
-            new_vals.append(m)
-            new_idx.append(jnp.sum(jnp.where(sel, cand_idx, 0.0), axis=1))
-            cand_vals = jnp.where(sel, _NEG, cand_vals)
-        run_vals[...] = jnp.pad(
-            jnp.stack(new_vals, axis=1),
-            ((0, 0), (0, run_vals.shape[1] - k)),
-            constant_values=_NEG,
-        )
-        run_idx[...] = jnp.pad(
-            jnp.stack(new_idx, axis=1),
-            ((0, 0), (0, run_idx.shape[1] - k)),
-        )
+def _quantize_rows(hf: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8: returns (h_q int8, s_h fp32 [N, 1])."""
+    amax = jnp.maximum(jnp.max(jnp.abs(hf), axis=1, keepdims=True), 1e-8)
+    s_h = amax / 127.0
+    return jnp.round(hf / s_h).astype(jnp.int8), s_h
 
-        @pl.when(j == nj - 1)
-        def _():
-            vals_out[...] = run_vals[...][:, : vals_out.shape[1]]
-            idx_out[...] = run_idx[...][:, : idx_out.shape[1]].astype(
-                jnp.int32
-            )
-            m = run_m[...][:, :1]
-            s = run_s[...][:, :1]
-            lse_out[...] = jnp.broadcast_to(
-                m + jnp.log(s), lse_out.shape
-            )
+
+def _make_head_kernel_int8(k: int, TV: int):
+    """int8 variant: the weight tile arrives pre-quantized (per-column
+    symmetric, quantize_head); the activation rows are quantized in-kernel
+    (per-row symmetric, recomputed per vocab tile — identical each time,
+    so the dequantized logits are tile-order independent). The int8 x
+    int8 -> int32 dot rides the MXU's double-rate int8 path on v5e; the
+    extraction downstream is the shared fp32 body."""
+
+    def kernel(h_ref, w_ref, s_ref, b_ref, vals_out, idx_out, lse_out,
+               run_vals, run_idx, run_m, run_s):
+        h_q, s_h = _quantize_rows(h_ref[...].astype(jnp.float32))
+        acc = jnp.dot(h_q, w_ref[...], preferred_element_type=jnp.int32)
+        logits = acc.astype(jnp.float32) * (s_h * s_ref[...]) + b_ref[...]
+        _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
+                         run_vals, run_idx, run_m, run_s)
 
     return kernel
 
@@ -433,6 +467,125 @@ def fused_head_topk(
         interpret=interpret,
     )(h_p, w_p, b_p)
     return vals[:N], idx[:N], lse[:N, 0]
+
+
+def quantize_head(
+    w: jax.Array,  # [H, V]
+    b: jax.Array,  # [V]
+    *,
+    n_rows: int,
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-column symmetric int8 quantization of the vocab head, padded to
+    the kernel tile grid (the serving knob ModelConfig.head_quant="int8").
+
+    Done once per decode batch in prepare_topk — the analog of
+    prepad_head for the quantized path. Returns (w_q int8 [H, Vp],
+    w_scale fp32 [Vp], b fp32 [Vp]). Padded vocab columns carry scale 1 /
+    weight 0 / bias -1e30, so they never enter the top-k and contribute
+    exp(-1e30) = 0 to the log-sum-exp — same convention as prepad_head.
+    """
+    H, V = w.shape
+    TN, TV = _pick_tiles(n_rows, H, V, k, 1)  # int8 itemsize
+    TV = min(TV, _round_up(V, 128))
+    Vp = _round_up(V, TV)
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0  # [V]
+    w_q = _pad_axis(jnp.round(wf / scale).astype(jnp.int8), 1, Vp)
+    scale_p = _pad_axis(scale, 0, Vp, value=1.0)
+    b_p = _pad_axis(b.astype(jnp.float32), 0, Vp, value=_NEG)
+    return w_q, scale_p, b_p
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def fused_head_topk_int8(
+    h: jax.Array,  # [N, H] hidden (pre-head), float
+    w_q: jax.Array,  # [H, Vp] int8, pre-quantized+padded (quantize_head)
+    w_scale: jax.Array,  # [Vp] fp32 per-column scales
+    b: jax.Array,  # [Vp] fp32, padding = -1e30
+    *,
+    k: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """int8 twin of fused_head_topk: same (vals, idx, lse) contract, with
+    logits = (q8(h) @ w_q) * (s_h * s_w) + b. The approximation error is
+    the quantization's (per-row + per-column symmetric int8); the
+    extraction is exact top-k over those quantized logits — bit-identical
+    to xla_head_topk_int8 / reference_head_topk_int8 on the same inputs.
+
+    [PENDING CHIP] Built during the round-3 tunnel outage: interpret-mode
+    exact, expected to cut the head's matmul + W-stream cost ~2x on the
+    v5e int8 MXU path; no on-chip number yet (DESIGN.md session-5 list).
+    """
+    N, H = h.shape
+    Vp = w_q.shape[1]
+    TN, TV = _pick_tiles(N, H, Vp, k, 1)
+    TN = min(TN, _round_up(N, 8))
+    TV = min(TV, Vp)
+    if Vp % TV:
+        raise ValueError(
+            f"w_q vocab axis {Vp} is not a multiple of tile {TV}; "
+            "quantize with ops.head.quantize_head"
+        )
+    Np = _round_up(N, TN)
+    h_p = _pad_axis(h.astype(jnp.float32), 0, Np)
+    s_p = w_scale.astype(jnp.float32).reshape(1, Vp)
+    b_p = b.astype(jnp.float32).reshape(1, Vp)
+
+    kcols = _round_up(k, 128)
+    grid = (Np // TN, Vp // TV)
+    vals, idx, lse = pl.pallas_call(
+        _make_head_kernel_int8(k, TV),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TN, H), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),  # h
+            pl.BlockSpec((H, TV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # w_q
+            pl.BlockSpec((1, TV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # scales
+            pl.BlockSpec((1, TV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # b
+        ],
+        out_specs=[
+            pl.BlockSpec((TN, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, k), jnp.float32),
+            jax.ShapeDtypeStruct((Np, k), jnp.int32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TN, kcols), jnp.float32),  # run_vals
+            pltpu.VMEM((TN, kcols), jnp.float32),  # run_idx (fp32, exact)
+            pltpu.VMEM((TN, 128), jnp.float32),  # run_m
+            pltpu.VMEM((TN, 128), jnp.float32),  # run_s
+        ],
+        interpret=interpret,
+    )(h_p, w_q, s_p, b_p)
+    return vals[:N], idx[:N], lse[:N, 0]
+
+
+def quantized_head_logits(h, w_q, w_scale, b):
+    """Dequantized logits in plain jnp — the single numeric definition the
+    Pallas int8 kernel, the XLA int8 path, and the tests all share."""
+    h_q, s_h = _quantize_rows(h.astype(jnp.float32))
+    acc = jnp.dot(h_q, w_q, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s_h * w_scale[None, :]) + b
+
+
+def xla_head_topk_int8(h, w_q, w_scale, b, *, k):
+    """Same contract as fused_head_topk_int8 in plain XLA (the
+    head_impl="xla" dispatch under head_quant="int8")."""
+    logits = quantized_head_logits(h, w_q, w_scale, b)
+    vals, idx = jax.lax.top_k(logits, k)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    return vals, idx.astype(jnp.int32), lse
 
 
 def xla_head_topk(

@@ -85,6 +85,16 @@ class ModelConfig:
     # Beam decode only (the pack is built by the prepare_topk hook);
     # soft-SCMA EditNet only; everything else falls back to "xla".
     cell_impl: str = "xla"
+    # Serving-oriented head quantization: "int8" runs the beam decode's
+    # fused top-k head on per-column-symmetric int8 weights with per-row
+    # int8 activations (ops/head.py quantize_head / fused_head_topk_int8)
+    # — the MXU's double-rate int8 path at ~1/4 the weight streaming.
+    # APPROXIMATE: quantization error can flip near-tie beam choices, so
+    # this is an explicit serving trade, never the default, and it only
+    # affects the fused-top-k (beam) path — greedy/teacher-forcing logits
+    # and training stay float. [PENDING CHIP — interpret-exact, built
+    # during the round-3 tunnel outage.]
+    head_quant: str = "none"
 
     def __post_init__(self) -> None:
         # Validate the string-enum knobs up front: the dispatch sites test
@@ -103,6 +113,9 @@ class ModelConfig:
         if self.cell_impl not in ("pallas", "xla"):
             raise ValueError(f"ModelConfig.cell_impl must be 'pallas' or "
                              f"'xla', got {self.cell_impl!r}")
+        if self.head_quant not in ("none", "int8"):
+            raise ValueError(f"ModelConfig.head_quant must be 'none' or "
+                             f"'int8', got {self.head_quant!r}")
 
     @property
     def pad_id(self) -> int:
