@@ -7,6 +7,8 @@ variance swamps cross-day comparisons — docs/DESIGN.md):
   * decode-step cell kernels: xla (production) vs pallas (ops/megastep)
   * the two combined
   * DCNet with the winning combination
+  * int8-quantized head (serving knob: measures the speed side of the
+    trade; quality deltas measured separately by caption-change rate)
 
 Usage:  python examples/bench_decode_matrix.py [--out FILE] [--quick]
 Each bench.py child gets its own timeout so one hung tunnel window can't
@@ -31,8 +33,10 @@ MATRIX = [
     ("editnet backptr+pallas-cells",
      ["--beam-impl", "backptr", "--cell-impl", "pallas"]),
     ("editnet baseline (repeat)", []),
+    ("editnet int8-head", ["--head-quant", "int8"]),
     ("dcnet baseline", ["--arch", "dcnet"]),
     ("dcnet pallas-cells", ["--arch", "dcnet", "--cell-impl", "pallas"]),
+    ("dcnet int8-head", ["--arch", "dcnet", "--head-quant", "int8"]),
 ]
 
 
