@@ -157,16 +157,20 @@ def cmd_train_xe(args) -> int:
         from captionkit.utils.logging import MetricsLogger
 
         mlogger = MetricsLogger(args.run_dir)
-    state, report = run_xe_training(
-        model, state, cfg, train_ds,
-        None if args.no_val else eval_ds,
-        mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
-        metrics_logger=mlogger,
-    )
+    from captionkit.utils.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        state, report = run_xe_training(
+            model, state, cfg, train_ds,
+            None if args.no_val else eval_ds,
+            mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
+            metrics_logger=mlogger, preemption=guard,
+        )
     best = report.best_metric if report.best_metric > float("-inf") else None
     print(json.dumps({
         "epochs_run": report.epochs_run,
         "best_val_cider": best,
+        "preempted": report.preempted,
         "history": report.history,
     }, indent=2, default=float))
     ckpt.close()
@@ -199,16 +203,21 @@ def cmd_train_scst(args) -> int:
         from captionkit.utils.logging import MetricsLogger
 
         mlogger = MetricsLogger(args.run_dir)
-    state, report = run_scst_training(
-        model, state, cfg, train_ds,
-        None if args.no_val else eval_ds,
-        mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
-        metrics_logger=mlogger, pipeline=args.pipeline,
-    )
+    from captionkit.utils.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        state, report = run_scst_training(
+            model, state, cfg, train_ds,
+            None if args.no_val else eval_ds,
+            mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
+            metrics_logger=mlogger, pipeline=args.pipeline,
+            preemption=guard,
+        )
     best = report.best_metric if report.best_metric > float("-inf") else None
     print(json.dumps({
         "epochs_run": report.epochs_run,
         "best_val_cider": best,
+        "preempted": report.preempted,
     }, indent=2, default=float))
     ckpt.close()
     return 0

@@ -76,6 +76,9 @@ class TrainReport:
     best_metric: float = float("-inf")
     best_epoch: int = -1
     history: list[dict[str, float]] = field(default_factory=list)
+    # True when the run exited early on a caught termination signal
+    # (utils.preemption.PreemptionGuard) after checkpointing.
+    preempted: bool = False
 
 
 def _make_val_decode_fn(model, val_dataset, cfg, mesh):
@@ -196,8 +199,13 @@ def run_xe_training(
     ckpt: Optional[CheckpointManager] = None,
     max_steps: Optional[int] = None,
     metrics_logger: Optional[MetricsLogger] = None,
+    preemption=None,
 ) -> tuple[TrainState, TrainReport]:
     """Cross-entropy phase (reference per-model train script, SURVEY.md §4.1).
+
+    ``preemption``: an optional utils.preemption.PreemptionGuard polled at
+    dispatch boundaries — on a caught SIGTERM the loop drains, saves a
+    checkpoint at the exact step, marks report.preempted, and returns.
 
     lr decay on val-CIDEr plateau is realized by rebuilding the optimizer
     would discard Adam moments, so instead — matching the reference's
@@ -269,6 +277,8 @@ def run_xe_training(
         packs = _pack_host_batches(host_batches, k, budget) if k > 1 \
             else (("single", hb) for hb in host_batches)
         for kind, dev_batch in _prefetch_packs(packs, mesh):
+            if preemption is not None and preemption.requested:
+                break
             if kind == "multi":
                 state, metrics = multi_fn(state, dev_batch)
                 n = k
@@ -324,6 +334,20 @@ def run_xe_training(
             meter_bt.update(
                 (time.perf_counter() - t0) / window_steps, n=window_steps
             )
+
+        if preemption is not None and preemption.requested:
+            log.warning(
+                "preempted at step %d: checkpointing and exiting cleanly",
+                steps_done,
+            )
+            if ckpt is not None:
+                ckpt.save(state, extra={"preempted": True})
+            report.preempted = True
+            report.epochs_run = epoch + 1
+            report.history.append({
+                "epoch": epoch, "loss": meter_loss.avg, "preempted": True,
+            })
+            return state, report
 
         epoch_stats = {
             "epoch": epoch, "loss": meter_loss.avg, "top5_acc": meter_acc.avg
@@ -392,8 +416,13 @@ def run_scst_training(
     max_steps: Optional[int] = None,
     metrics_logger: Optional[MetricsLogger] = None,
     pipeline: bool = False,
+    preemption=None,
 ) -> tuple[TrainState, TrainReport]:
     """SCST fine-tuning phase (SURVEY.md §4.4).
+
+    ``preemption``: see run_xe_training — polled at step boundaries; in
+    pipelined mode the in-flight rollout is dropped (no state was
+    mutated), so the checkpoint is exact.
 
     pipeline=True overlaps the host CIDEr-D reward of batch k with the
     device rollout of batch k+1 (SURVEY.md §7.4). The k+1 rollout then uses
@@ -454,6 +483,8 @@ def run_scst_training(
         )
         if not pipeline:
             for batch in batches:
+                if preemption is not None and preemption.requested:
+                    break
                 dev_batch, refs = _prep(batch)
                 rng = jax.random.fold_in(state.rng, int(state.step))
                 state, metrics = scst_train_step(
@@ -472,6 +503,9 @@ def run_scst_training(
             dispatched = 0  # rollouts issued this epoch (steps_done lags
             # one behind under pipelining, so it cannot key the PRNG)
             for batch in batches:
+                if preemption is not None and preemption.requested:
+                    pending = None  # rollout not applied: no state mutated
+                    break
                 dev_batch, refs = _prep(batch)
                 rng = jax.random.fold_in(
                     jax.random.fold_in(state.rng, epoch), dispatched
@@ -494,6 +528,21 @@ def run_scst_training(
                     state, pending, update_fn, rewarder
                 )
                 _tick(metrics, epoch)
+        if preemption is not None and preemption.requested:
+            log.warning(
+                "preempted at scst step %d: checkpointing and exiting "
+                "cleanly", steps_done,
+            )
+            if ckpt is not None:
+                ckpt.save(state, extra={"preempted": True})
+            report.preempted = True
+            report.epochs_run = epoch + 1
+            report.history.append({
+                "epoch": epoch, "mean_advantage": meter_rw.avg,
+                "preempted": True,
+            })
+            return state, report
+
         stats = {"epoch": epoch, "mean_advantage": meter_rw.avg}
         if val_dataset is not None:
             cider = _validate(model, state, val_dataset, cfg, val_decode_fn)

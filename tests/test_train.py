@@ -382,3 +382,95 @@ def test_xe_step_hard_scma():
         enc_before, np.asarray(jax.tree.leaves(state.params.encoder)[0]))
     assert not np.array_equal(
         scma_before, np.asarray(jax.tree.leaves(state.params.scma)[0]))
+
+
+# ------------------------------------------------------------- preemption
+
+
+def _loop_cfg(src, tcfg, epochs=50):
+    import dataclasses
+
+    from captionkit.utils.config import CaptionKitConfig
+
+    return CaptionKitConfig(
+        model=ModelConfig(arch="editnet",
+                          **{**MCFG, "vocab_size": len(src.vocab)}),
+        train=dataclasses.replace(tcfg, epochs=epochs),
+    ).override({"data.batch_size": 16})
+
+
+def test_preemption_guard_signal_latch_and_restore():
+    """The guard latches the signal into a flag and restores the previous
+    handler on exit (SIGUSR1 so a failure can't kill pytest)."""
+    import signal
+
+    from captionkit.utils.preemption import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGUSR1)
+    with PreemptionGuard(signals=(signal.SIGUSR1,)) as guard:
+        assert not guard.requested
+        signal.raise_signal(signal.SIGUSR1)
+        assert guard.requested
+    assert signal.getsignal(signal.SIGUSR1) is prev
+
+
+def test_xe_preemption_checkpoints_and_exits(tmp_path):
+    """A preemption request makes the XE loop drain, checkpoint at the
+    exact step, and return early with report.preempted; resume restores
+    that step."""
+    from captionkit.train.loop import run_xe_training
+    from captionkit.utils.preemption import PreemptionGuard
+
+    src, model, tcfg, state, _ = _setup("editnet", seed=6)
+    cfg = _loop_cfg(src, tcfg)
+    mgr = CheckpointManager(str(tmp_path / "pre"), keep=2)
+    guard = PreemptionGuard(signals=())
+    import threading
+
+    # Fire mid-run: the loop polls at dispatch boundaries, so whenever the
+    # timer lands the exit is clean. (request() is thread-safe.)
+    threading.Timer(0.5, guard.request).start()
+    state2, report = run_xe_training(
+        model, state, cfg, src.dataset, None, ckpt=mgr,
+        max_steps=100_000, preemption=guard,
+    )
+    assert report.preempted is True
+    assert report.history[-1]["preempted"] is True
+    step = int(jax.device_get(state2.step))
+    assert 0 < step < 100_000
+    restored = mgr.restore(state)
+    assert int(jax.device_get(restored.step)) == step
+    mgr.close()
+
+
+def test_xe_preemption_before_first_step(tmp_path):
+    """Already-requested guard: the loop exits without dispatching."""
+    from captionkit.train.loop import run_xe_training
+    from captionkit.utils.preemption import PreemptionGuard
+
+    src, model, tcfg, state, _ = _setup("editnet", seed=7)
+    cfg = _loop_cfg(src, tcfg, epochs=2)
+    guard = PreemptionGuard(signals=())
+    guard.request()
+    state2, report = run_xe_training(
+        model, state, cfg, src.dataset, None, preemption=guard,
+    )
+    assert report.preempted is True
+    assert int(jax.device_get(state2.step)) == 0
+
+
+def test_scst_preemption_exits_cleanly(tmp_path):
+    from captionkit.train.loop import run_scst_training
+    from captionkit.utils.preemption import PreemptionGuard
+
+    src, model, tcfg, state, _ = _setup("editnet", seed=8)
+    cfg = _loop_cfg(src, tcfg, epochs=2)
+    guard = PreemptionGuard(signals=())
+    guard.request()
+    mgr = CheckpointManager(str(tmp_path / "spre"), keep=2)
+    _, report = run_scst_training(
+        model, state, cfg, src.dataset, None, ckpt=mgr,
+        pipeline=True, preemption=guard,
+    )
+    assert report.preempted is True
+    mgr.close()
