@@ -110,6 +110,10 @@ def cmd_decode(args) -> int:
 
     cfg = _apply_overrides(get_named_config(args.config), args.set)
     _, eval_ds = _load_dataset(args, cfg)
+    if args.num_shards > 1:
+        # Multi-host eval: each host decodes its strided shard; results
+        # JSONs key by real image ids and concatenate across hosts.
+        eval_ds = eval_ds.shard(args.num_shards, args.shard_index)
     mcfg, model = _build_model(cfg, len(eval_ds.vocab))
     params = _load_params(args, model, mcfg)
     if eval_ds.references is not None and not args.no_metrics:
@@ -424,6 +428,12 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(sp)
     sp.add_argument("--out", help="results JSON path")
     sp.add_argument("--no-metrics", action="store_true")
+    sp.add_argument("--num-shards", dest="num_shards", type=int, default=1,
+                    help="split the eval set across hosts "
+                         "(CaptionDataset.shard); run one process per "
+                         "shard and concatenate the results JSONs")
+    sp.add_argument("--shard-index", dest="shard_index", type=int,
+                    default=0, help="this host's shard (0-based)")
 
     sp = sub.add_parser("decode-stacked",
                         help="DCNet->EditNet stacked editing of a split")

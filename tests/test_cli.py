@@ -91,3 +91,19 @@ def test_model_config_rejects_unknown_enum_values():
             ModelConfig(**kw)
     # the valid spellings still construct
     ModelConfig(head_impl="xla", scma_select="hard", arch="dcnet")
+
+
+def test_cli_decode_sharded(capsys):
+    """Multi-host eval: two shards of a 12-image split decode 6 each, and
+    together cover every image exactly once (keyed results concatenate)."""
+    seen = []
+    for idx in range(2):
+        rc = main(["decode", "--config", "editnet_greedy", "--synthetic",
+                   "--images", "12", "--num-shards", "2",
+                   "--shard-index", str(idx),
+                   "--set", "decode.batch_size=8", *TINY])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["captions"] == 6
+        seen.append(out)
+    assert len(seen) == 2
