@@ -294,3 +294,58 @@ def test_zero_config_fit_end_to_end():
                        compute_dtype="float32", **dims)
     params, fit = fit_params_from_state_dict(raw, "editnet", mcfg)
     assert _editnet_logits_parity(tmodel, params, mcfg)
+
+
+def test_fit_names_randomized_layout_fuzz():
+    """Random dims x random module renames: the fit must recover a layout
+    whose converted params reproduce the twin's step logits. Dims are
+    drawn so some draws hit the E==H and F==H tie regimes."""
+    import random
+
+    import jax.numpy as jnp
+
+    rng = random.Random(42)
+    for trial in range(6):
+        e = rng.choice([8, 12, 16])
+        hdim = rng.choice([8, 16])
+        a = rng.choice([4, 8])
+        f = rng.choice([hdim, 10, 20])  # sometimes F == H (vis/scma tie)
+        v = rng.randint(30, 60)
+        torch.manual_seed(100 + trial)
+        tmodel = TorchEditNet(v, e, hdim, a, f).eval()
+        names = {m: f"sub{rng.randint(0, 9)}_{i}" for i, m in
+                 enumerate(SCRAMBLE_EDITNET)}
+        raw = _rename(tmodel.state_dict(), names)
+        mcfg = ModelConfig(arch="editnet", vocab_size=v, emb_dim=e,
+                           hidden_dim=hdim, att_dim=a, feat_dim=f,
+                           num_regions=3, dropout=0.0,
+                           compute_dtype="float32")
+        fit = fit_translation(state_dict_shapes(raw), "editnet", mcfg)
+        model = get_model(mcfg)
+        drng = np.random.default_rng(trial)
+        feats = drng.standard_normal((2, 3, f)).astype(np.float32)
+        existing = drng.integers(4, v, (2, 5)).astype(np.int64)
+        lengths = np.asarray([3, 5], np.int64)
+        with torch.no_grad():
+            tctx = tmodel.encode(torch.from_numpy(feats),
+                                 torch.from_numpy(existing),
+                                 torch.from_numpy(lengths))
+            tstate = list(tmodel.init_state(tctx))
+            out = tmodel.step(tctx, *tstate,
+                              torch.zeros(2, dtype=torch.long) + START)
+            tlogits = out[-1].numpy()
+
+        def logits_for(trans):
+            params = params_from_state_dict(
+                translate_state_dict(raw, trans), "editnet")
+            ctx = model.encode(params, jnp.asarray(feats),
+                               jnp.asarray(existing.astype(np.int32)),
+                               jnp.asarray(lengths.astype(np.int32)))
+            state = model.init_state(params, ctx)
+            _, logits = model.step(params, ctx, state,
+                                   jnp.full((2,), START, jnp.int32))
+            return np.asarray(logits)
+
+        # leaf conventions were kept, so hints must put the truth FIRST
+        assert np.allclose(logits_for(fit.translation), tlogits,
+                           atol=2e-4), (trial, e, hdim, a, f, fit.notes)
