@@ -296,6 +296,41 @@ def _load_name_map(path):
         return json.load(f)
 
 
+def _parse_split_paths(pairs: list[str], flag: str) -> dict[str, str]:
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"{flag} expects split=path, got {p!r}")
+        split, path = p.split("=", 1)
+        out[split] = path
+    return out
+
+
+def cmd_prepare(args) -> int:
+    """Offline data prep (SURVEY.md §2 L1): Karpathy JSON + AoANet captions
+    (+ optional feature arrays) -> reference-format artifacts that every
+    other command consumes via --prepared."""
+    import dataclasses
+
+    from captionkit.data.prepare import prepare_from_karpathy
+
+    out = prepare_from_karpathy(
+        karpathy_json=args.karpathy,
+        output_dir=args.out,
+        existing_captions=_parse_split_paths(args.existing, "--existing"),
+        features=(_parse_split_paths(args.features, "--features")
+                  if args.features else None),
+        min_word_freq=args.min_word_freq,
+        max_len=args.max_len,
+        captions_per_image=args.captions_per_image,
+    )
+    print(json.dumps(
+        {split: dataclasses.asdict(ps) for split, ps in out.items()},
+        indent=2,
+    ))
+    return 0
+
+
 def cmd_convert(args) -> int:
     from captionkit.convert.torch_import import convert_torch_checkpoint
 
@@ -474,6 +509,28 @@ def build_parser() -> argparse.ArgumentParser:
                     help="compiled micro-batch size")
     sp.add_argument("--seed", type=int, default=0)
 
+    sp = sub.add_parser(
+        "prepare",
+        help="Karpathy JSON + AoANet captions (+features) -> prepared "
+             "artifacts dir",
+    )
+    sp.add_argument("--karpathy", required=True,
+                    help="Karpathy-split dataset JSON (dataset_coco.json)")
+    sp.add_argument("--out", required=True, help="output artifact dir")
+    sp.add_argument("--existing", action="append", required=True,
+                    metavar="SPLIT=PATH",
+                    help="AoANet existing-caption JSON per split "
+                         "(repeatable: --existing train=a.json "
+                         "--existing val=b.json)")
+    sp.add_argument("--features", action="append", default=[],
+                    metavar="SPLIT=PATH",
+                    help="[N,R,F] feature array per split (npy/h5)")
+    sp.add_argument("--min-word-freq", dest="min_word_freq", type=int,
+                    default=5)
+    sp.add_argument("--max-len", dest="max_len", type=int, default=22)
+    sp.add_argument("--captions-per-image", dest="captions_per_image",
+                    type=int, default=5)
+
     sp = sub.add_parser("convert", help="torch checkpoint -> params .npz")
     sp.add_argument("--torch", required=True)
     sp.add_argument("--arch", required=True, choices=["dcnet", "editnet"])
@@ -566,6 +623,7 @@ _COMMANDS = {
     "train-scst": cmd_train_scst,
     "convert": cmd_convert,
     "parity-gate": cmd_parity_gate,
+    "prepare": cmd_prepare,
 }
 
 

@@ -131,3 +131,38 @@ def test_prepare_wordmap_from_train_only(tmp_path):
 
     v = Vocab.load(manifest["wordmap"])
     assert v.pad == 0
+
+
+def test_prepare_cli_end_to_end(tmp_path, capsys):
+    """L1 prep through the CLI, then decode straight off the artifacts —
+    the two commands a reference user runs first."""
+    from captionkit.cli import main
+
+    kpath, epaths, feats = _karpathy_fixture(tmp_path)
+    prep = str(tmp_path / "prep_cli")
+    rc = main([
+        "prepare", "--karpathy", kpath, "--out", prep,
+        "--existing", f"train={epaths['train']}",
+        "--existing", f"val={epaths['val']}",
+        "--features", f"train={feats['train']}",
+        "--features", f"val={feats['val']}",
+        "--min-word-freq", "1", "--max-len", "12",
+        "--captions-per-image", "2",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"train", "val"}
+    assert out["val"]["captions_path"]
+
+    rc = main([
+        "decode", "--config", "editnet_greedy", "--prepared", prep,
+        "--split", "val",
+        "--set", "model.emb_dim=12", "--set", "model.hidden_dim=16",
+        "--set", "model.att_dim=8", "--set", "model.feat_dim=8",
+        "--set", "model.num_regions=4", "--set", "model.dropout=0.0",
+        "--set", "decode.max_decode_len=12", "--set", "decode.batch_size=4",
+        "--set", "data.max_len=12",
+    ])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out)
+    assert "CIDEr" in metrics and metrics["captions"] == 2
