@@ -128,3 +128,18 @@ def test_int8_beam_paths_agree_end_to_end(arch):
 def test_head_quant_validation():
     with pytest.raises(ValueError, match="head_quant"):
         ModelConfig(head_quant="int4")
+
+
+def test_int8_composes_with_fused_cells():
+    """head_quant=int8 + cell_impl=pallas (the megastep kernels) must
+    produce the same captions as int8 + xla cells — the two levers are
+    orthogonal (the cell kernels are exactness-tested at 2e-5 and the
+    quantized head is bit-identical across dispatches)."""
+    dims = dict(vocab_size=50, emb_dim=12, hidden_dim=16, att_dim=8,
+                feat_dim=10, num_regions=4, dropout=0.0,
+                compute_dtype="float32")
+    a = _decode(ModelConfig(arch="editnet", head_quant="int8",
+                            cell_impl="pallas", **dims))
+    b = _decode(ModelConfig(arch="editnet", head_quant="int8",
+                            cell_impl="xla", **dims))
+    np.testing.assert_array_equal(a, b)
