@@ -443,9 +443,11 @@ def run_scst_training(
     rollout_fn = make_scst_rollout(
         model, start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
         max_len=cfg.decode.max_decode_len, mesh=mesh,
+        num_samples=tcfg.scst_num_samples,
     )
     update_fn = make_scst_update(
-        model, scst_cfg, start_id=vocab.start, mesh=mesh
+        model, scst_cfg, start_id=vocab.start, mesh=mesh,
+        num_samples=tcfg.scst_num_samples,
     )
     report = TrainReport()
     steps_done = 0

@@ -33,7 +33,11 @@ from captionkit.data.vocab import Vocab
 from captionkit.decode import greedy_decode, sample_decode
 from captionkit.metrics.cider import CiderD, NgramDocFreq
 from captionkit.models.base import ModelDef, teacher_forcing_logits
-from captionkit.parallel.mesh import batch_sharding, replicated
+from captionkit.parallel.mesh import (
+    batch_sharding,
+    replicated,
+    stacked_batch_sharding,
+)
 from captionkit.train.state import TrainState, make_optimizer
 from captionkit.utils.config import TrainConfig
 
@@ -46,29 +50,57 @@ def make_scst_rollout(
     pad_id: int = 0,
     max_len: int = 22,
     mesh: Optional[Mesh] = None,
+    num_samples: int = 1,
 ):
-    """Jitted (params, batch, rng) -> (sampled tokens/mask, greedy tokens,
-    greedy mask). One encode feeds both legs."""
+    """Jitted (params, batch, rng) -> rollout dict.
+
+    ``num_samples=1`` (the reference recipe [P][B]): one sampled caption +
+    a greedy baseline caption per image, one encode feeding both legs —
+    returns [B, L] leaves.
+
+    ``num_samples=n>1`` (multi-sample SCST, Luo 2020 "A Better Variance
+    Reduction" / ruotianluo new_self_critical): n sampled captions per
+    image, no greedy leg — the baseline becomes each sample's
+    leave-one-out mean reward (ScstRewarder.advantage_loo), which is
+    lower-variance than the single greedy rollout and removes a whole
+    decode from the step. Returns [n, B, L] sample leaves (scan dim
+    leading, batch sharded — stacked_batch_sharding layout)."""
 
     def fn(params, batch, rng):
         ctx = model.encode(
             params, batch["features"], batch["existing"],
             batch["existing_len"],
         )
-        sample = sample_decode(
-            model, params, ctx, rng,
-            start_id=start_id, end_id=end_id, pad_id=pad_id, max_len=max_len,
-        )
-        greedy = greedy_decode(
-            model, params, ctx,
-            start_id=start_id, end_id=end_id, pad_id=pad_id, max_len=max_len,
-        )
-        return {
-            "sample_tokens": sample.tokens,
-            "sample_mask": sample.mask,
-            "greedy_tokens": greedy.tokens,
-            "greedy_mask": greedy.mask,
-        }
+        if num_samples == 1:
+            sample = sample_decode(
+                model, params, ctx, rng,
+                start_id=start_id, end_id=end_id, pad_id=pad_id,
+                max_len=max_len,
+            )
+            greedy = greedy_decode(
+                model, params, ctx,
+                start_id=start_id, end_id=end_id, pad_id=pad_id,
+                max_len=max_len,
+            )
+            return {
+                "sample_tokens": sample.tokens,
+                "sample_mask": sample.mask,
+                "greedy_tokens": greedy.tokens,
+                "greedy_mask": greedy.mask,
+            }
+
+        def one(r):
+            s = sample_decode(
+                model, params, ctx, r,
+                start_id=start_id, end_id=end_id, pad_id=pad_id,
+                max_len=max_len,
+            )
+            return s.tokens, s.mask
+
+        # lax.map (sequential) over samples: rollouts are while_loop
+        # programs whose peak memory we don't want multiplied by n.
+        toks, masks = jax.lax.map(one, jax.random.split(rng, num_samples))
+        return {"sample_tokens": toks, "sample_mask": masks}
 
     # Rollouts are decode programs — same scoped-VMEM rebalance as
     # decode/driver.py (utils/tpuopts.py; +10% measured on beam decode).
@@ -78,7 +110,8 @@ def make_scst_rollout(
     if mesh is None:
         return jax.jit(fn, compiler_options=opts)
     repl, bsh = replicated(mesh), batch_sharding(mesh)
-    return jax.jit(fn, in_shardings=(repl, bsh, repl), out_shardings=bsh,
+    osh = bsh if num_samples == 1 else stacked_batch_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, bsh, repl), out_shardings=osh,
                    compiler_options=opts)
 
 
@@ -88,17 +121,16 @@ def make_scst_update(
     *,
     start_id: int,
     mesh: Optional[Mesh] = None,
+    num_samples: int = 1,
 ):
     """Jitted (TrainState, batch, sampled_tokens, sample_mask, advantage)
-    -> (TrainState, metrics)."""
+    -> (TrainState, metrics). With ``num_samples>1`` the token/mask args
+    are [n, B, L] and advantage is [n, B]; the surrogate sums over every
+    sample's tokens (one encode, n teacher-forced passes via lax.map so
+    peak memory stays at the single-sample footprint)."""
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, batch, tokens, mask, advantage):
-        ctx = model.encode(
-            params, batch["features"], batch["existing"],
-            batch["existing_len"],
-        )
-        state0 = model.init_state(params, ctx)
+    def _surrogate(ctx, state0, params, tokens, mask, advantage, valid):
         B, L = tokens.shape
         tokens_in = jnp.concatenate(
             [jnp.full((B, 1), start_id, jnp.int32), tokens[:, :-1]], axis=1
@@ -109,17 +141,42 @@ def make_scst_update(
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tok_logp = jnp.take_along_axis(logp, tokens[..., None], -1)[..., 0]
         maskf = mask.astype(jnp.float32)
-        valid = batch["valid"].astype(jnp.float32)
         # Reference-style: per-token mean of −advantage·logp over real
         # tokens (ruotianluo RewardCriterion shape [R]).
         num = jnp.sum(-advantage[:, None] * tok_logp * maskf * valid[:, None])
-        den = jnp.maximum(jnp.sum(maskf * valid[:, None]), 1.0)
-        loss = num / den
+        den = jnp.sum(maskf * valid[:, None])
+        return num, den
+
+    def loss_fn(params, batch, tokens, mask, advantage):
+        ctx = model.encode(
+            params, batch["features"], batch["existing"],
+            batch["existing_len"],
+        )
+        state0 = model.init_state(params, ctx)
+        valid = batch["valid"].astype(jnp.float32)
+        if num_samples == 1:
+            num, den = _surrogate(
+                ctx, state0, params, tokens, mask, advantage, valid
+            )
+            adv_mean = (jnp.sum(advantage * valid)
+                        / jnp.maximum(jnp.sum(valid), 1.0))
+        else:
+            nums, dens = jax.lax.map(
+                lambda tma: _surrogate(ctx, state0, params, *tma, valid),
+                (tokens, mask, advantage),
+            )
+            num, den = jnp.sum(nums), jnp.sum(dens)
+            adv_mean = (
+                jnp.sum(advantage * valid[None, :])
+                / jnp.maximum(num_samples * jnp.sum(valid), 1.0)
+            )
+        loss = num / jnp.maximum(den, 1.0)
+        # den already sums mask over valid rows only.
+        tok_per_img = den / jnp.maximum(num_samples * jnp.sum(valid), 1.0)
         return loss, {
             "scst_loss": loss,
-            "mean_advantage": jnp.sum(advantage * valid)
-            / jnp.maximum(jnp.sum(valid), 1.0),
-            "sample_len": jnp.sum(maskf) / jnp.maximum(jnp.sum(valid), 1.0),
+            "mean_advantage": adv_mean,
+            "sample_len": tok_per_img,
         }
 
     def step_fn(state: TrainState, batch, tokens, mask, advantage):
@@ -141,9 +198,10 @@ def make_scst_update(
             step_fn, donate_argnums=(0,) if cfg.donate_state else ()
         )
     repl, bsh = replicated(mesh), batch_sharding(mesh)
+    ssh = bsh if num_samples == 1 else stacked_batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, bsh, bsh, bsh, bsh),
+        in_shardings=(repl, bsh, ssh, ssh, ssh),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if cfg.donate_state else (),
     )
@@ -189,6 +247,29 @@ class ScstRewarder:
             _, r_g = self.scorer.compute(hyps_g, refs)
         return (np.asarray(r_s) - np.asarray(r_g)).astype(np.float32)
 
+    def advantage_loo(
+        self,
+        sample_tokens: np.ndarray,  # [n, B, L]
+        references: Sequence[Sequence[Sequence[str]]],  # [B][n_ref][tok]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Multi-sample baseline: each sample's advantage is its reward
+        minus the LEAVE-ONE-OUT mean of its siblings' rewards (Luo 2020) —
+        an unbiased, lower-variance replacement for the greedy rollout.
+        Returns (advantage [n, B], rewards [n, B])."""
+        n, B, _ = sample_tokens.shape
+        if n < 2:
+            raise ValueError("advantage_loo needs num_samples >= 2")
+        flat = sample_tokens.reshape(n * B, -1)
+        hyps = self._decode(flat)
+        refs = [list(r) for r in references] * n
+        if self._native is not None:
+            r = self._native.score(hyps, refs)
+        else:
+            _, r = self.scorer.compute(hyps, refs)
+        rewards = np.asarray(r, np.float32).reshape(n, B)
+        baseline = (rewards.sum(axis=0, keepdims=True) - rewards) / (n - 1)
+        return (rewards - baseline).astype(np.float32), rewards
+
 
 def apply_rollout(
     *,
@@ -201,8 +282,19 @@ def apply_rollout(
 ) -> tuple[TrainState, dict[str, Any]]:
     """Finish an SCST step from an already-dispatched rollout: host
     CIDEr-D advantage, then the device update. Shared by the serial and
-    pipelined loops so reward/metric semantics cannot drift."""
+    pipelined loops so reward/metric semantics cannot drift. Dispatches
+    on the rollout's shape: [B, L] sample leaves = reference recipe
+    (greedy baseline); [n, B, L] = multi-sample leave-one-out baseline."""
     sample_tokens = np.asarray(jax.device_get(roll["sample_tokens"]))
+    if sample_tokens.ndim == 3:
+        adv, rewards = rewarder.advantage_loo(sample_tokens, references)
+        new_state, metrics = update_fn(
+            state, batch, roll["sample_tokens"], roll["sample_mask"],
+            jnp.asarray(adv),
+        )
+        metrics = dict(metrics)
+        metrics["reward_sample_mean"] = float(rewards.mean())
+        return new_state, metrics
     greedy_tokens = np.asarray(jax.device_get(roll["greedy_tokens"]))
     adv = rewarder.advantage(sample_tokens, greedy_tokens, references)
     new_state, metrics = update_fn(

@@ -149,6 +149,11 @@ class TrainConfig:
     optimizer: str = "adam"
     learning_rate: float = 4e-4
     scst_learning_rate: float = 5e-5
+    # SCST baseline: 1 = the reference recipe (one sample vs a greedy
+    # rollout); n>1 = multi-sample SCST (n samples per image, each scored
+    # against its siblings' leave-one-out mean reward — lower-variance,
+    # and the greedy rollout disappears from the step).
+    scst_num_samples: int = 1
     grad_clip: float = 5.0  # max-abs clip, reference-style (SURVEY.md §3.3)
     epochs: int = 30
     scst_epochs: int = 10

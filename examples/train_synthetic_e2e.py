@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--scst-eval-every", type=int, default=0,
                     help="evaluate CIDEr every N SCST steps (curve mode)")
     ap.add_argument("--scst-lr", type=float, default=2e-4)
+    ap.add_argument("--scst-samples", type=int, default=1,
+                    help=">1 switches SCST to the multi-sample "
+                         "leave-one-out baseline (train.scst_num_samples)")
     ap.add_argument("--images", type=int, default=96)
     ap.add_argument("--hidden", type=int, default=128)
     args = ap.parse_args()
@@ -61,6 +64,7 @@ def main() -> int:
         "data.max_len": 14,
         "train.learning_rate": 3e-3,
         "train.scst_learning_rate": args.scst_lr,
+        "train.scst_num_samples": args.scst_samples,
         "train.epochs": 10_000,  # bounded by max_steps
         "train.scst_epochs": 10_000,
         "train.log_every": 50,

@@ -305,3 +305,131 @@ def test_decode_split_beam_impl_config_plumbing():
         model, state.params, ev, DecodeConfig(**base, beam_impl="backptr"))
     assert hyps_reg == hyps_bp
     assert len(hyps_reg) == 12  # every image captioned
+
+
+# -------------------------------------------------------- multi-sample SCST
+
+
+def test_advantage_loo_math():
+    """Leave-one-out baseline: hand-checked on fabricated rewards."""
+    from captionkit.train.scst import ScstRewarder
+
+    src, mcfg, model, tcfg, state = _setup()
+    df = NgramDocFreq.build(src.dataset.references)
+    rw = ScstRewarder(src.vocab, df)
+
+    rewards = np.asarray([[1.0, 0.0], [3.0, 2.0], [5.0, 4.0]], np.float32)
+
+    class _StubScorer:
+        def compute(self, hyps, refs):
+            return 0.0, rewards.reshape(-1)
+
+        def score(self, hyps, refs):
+            return rewards.reshape(-1)
+
+    rw._native = None
+    rw.scorer = _StubScorer()
+    toks = np.zeros((3, 2, 5), np.int32)  # shapes only; scorer is stubbed
+    refs = [[["a"]], [["b"]]]
+    adv, r = rw.advantage_loo(toks, refs)
+    assert r.shape == (3, 2)
+    # sample 0, image 0: baseline = (3+5)/2 = 4 -> adv = -3
+    np.testing.assert_allclose(adv[:, 0], [1 - 4.0, 3 - 3.0, 5 - 2.0])
+    np.testing.assert_allclose(adv[:, 1], [0 - 3.0, 2 - 2.0, 4 - 1.0])
+    # advantages sum to zero per image (property of the loo baseline)
+    np.testing.assert_allclose(adv.sum(axis=0), [0.0, 0.0], atol=1e-6)
+
+
+def test_multisample_rollout_shapes_and_distinct_samples():
+    src, mcfg, model, tcfg, state = _setup()
+    v = src.vocab
+    batch = batch_to_device_dict(next(src.dataset.batches(6)))
+    rollout = make_scst_rollout(model, start_id=v.start, end_id=v.end,
+                                pad_id=v.pad, max_len=10, num_samples=3)
+    roll = rollout(state.params, batch, jax.random.PRNGKey(0))
+    assert "greedy_tokens" not in roll  # no greedy leg at n>1
+    toks = np.asarray(roll["sample_tokens"])
+    assert toks.shape == (3, 6, 10)
+    # different rng per sample: at least one pair differs
+    assert not (np.array_equal(toks[0], toks[1])
+                and np.array_equal(toks[1], toks[2]))
+
+
+def test_multisample_equal_rewards_give_zero_gradient():
+    """If every sample of an image earns the same reward, the loo
+    advantage is exactly zero and the update must be a no-op gradient."""
+    from captionkit.train.scst import ScstRewarder, scst_train_step
+
+    src, mcfg, model, tcfg, state = _setup()
+    v = src.vocab
+    df = NgramDocFreq.build(src.dataset.references)
+    rw = ScstRewarder(src.vocab, df)
+
+    class _Const:
+        def compute(self, hyps, refs):
+            return 0.0, np.ones(len(hyps), np.float32)
+
+    rw._native = None
+    rw.scorer = _Const()
+    batch = batch_to_device_dict(next(src.dataset.batches(6)))
+    refs = [src.dataset.references[int(i)] for i in range(6)]
+    rollout = make_scst_rollout(model, start_id=v.start, end_id=v.end,
+                                pad_id=v.pad, max_len=10, num_samples=2)
+    update = make_scst_update(model, tcfg, start_id=v.start, num_samples=2)
+    _, metrics = scst_train_step(
+        rollout_fn=rollout, update_fn=update, rewarder=rw, state=state,
+        batch=batch, references=refs, rng=jax.random.PRNGKey(1),
+    )
+    assert float(metrics["grad_norm"]) < 1e-6
+    assert float(metrics["mean_advantage"]) == 0.0
+    assert "reward_sample_mean" in metrics
+
+
+def test_multisample_scst_loop_smoke():
+    """run_scst_training end to end with scst_num_samples=3 (serial and
+    pipelined share apply_rollout, so one mode suffices)."""
+    import dataclasses
+
+    src, mcfg, model, tcfg, state = _setup(num_images=12)
+    cfg = CaptionKitConfig(
+        model=mcfg,
+        train=dataclasses.replace(tcfg, scst_epochs=1, scst_num_samples=3,
+                                  log_every=1),
+    ).override({"data.batch_size": 6, "decode.max_decode_len": 10})
+    state2, report = run_scst_training(
+        model, state, cfg, src.dataset, None, max_steps=2,
+    )
+    assert report.epochs_run == 1
+    assert np.isfinite(report.history[0]["mean_advantage"])
+    assert int(jax.device_get(state2.step)) == 2
+
+
+def test_multisample_scst_on_mesh():
+    """n=2 rollout+update compile and run on the 8-device mesh (stacked
+    [n, B, ...] leaves shard on the batch axis, not the sample axis)."""
+    from captionkit.train.scst import ScstRewarder, scst_train_step
+
+    from captionkit.parallel import make_mesh, shard_batch_arrays
+
+    src, mcfg, model, tcfg, state = _setup(num_images=16)
+    v = src.vocab
+    mesh = make_mesh((8,), ("data",))
+    batch = shard_batch_arrays(mesh,
+                               batch_to_device_dict(
+                                   next(src.dataset.batches(16))))
+    df = NgramDocFreq.build(src.dataset.references)
+    rw = ScstRewarder(src.vocab, df)
+    refs = [src.dataset.references[int(i)]
+            for i in np.asarray(jax.device_get(batch["image_id"]))] \
+        if "image_id" in batch else [src.dataset.references[i % 12]
+                                     for i in range(16)]
+    rollout = make_scst_rollout(model, start_id=v.start, end_id=v.end,
+                                pad_id=v.pad, max_len=10, num_samples=2,
+                                mesh=mesh)
+    update = make_scst_update(model, tcfg, start_id=v.start, mesh=mesh,
+                              num_samples=2)
+    state2, metrics = scst_train_step(
+        rollout_fn=rollout, update_fn=update, rewarder=rw, state=state,
+        batch=batch, references=refs, rng=jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(metrics["scst_loss"]))
