@@ -14,3 +14,8 @@ decode inside compiled loops with zero host round-trips:
 
 from captionkit.decode.greedy import greedy_decode, sample_decode  # noqa: F401
 from captionkit.decode.beam import beam_search, BeamResult  # noqa: F401
+from captionkit.decode.introspect import (  # noqa: F401
+    AttentionTrace,
+    attention_report,
+    greedy_decode_with_attention,
+)

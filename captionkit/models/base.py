@@ -70,6 +70,12 @@ class ModelDef:
     # the embedding-table and fc-head gradients alone are 39MB each);
     # hoisting turns those into one matmul/scatter over B*T rows.
     forward_seq: Optional[Callable[..., jax.Array]] = None
+    # Optional introspection step: (params, ctx, state, token) ->
+    # (state, logits, attn dict) where attn carries the step's attention
+    # distributions (e.g. EditNet's visual alpha over regions and SCMA
+    # beta over existing-caption positions) — the surface behind the
+    # paper's qualitative copy/ground analyses (decode.introspect).
+    step_attn: Optional[Callable[..., Any]] = None
 
 
 def teacher_forcing_logits(

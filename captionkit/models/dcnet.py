@@ -202,15 +202,19 @@ def _recurrent_contexts(
     cfg: ModelConfig,
     ctx: DCNetContext,
     h: jax.Array,  # [B, H] decoder hidden (attention query)
+    attn_out: Optional[dict] = None,
 ) -> list[jax.Array]:
     """The state-dependent decoder inputs: gated text attention context
-    (+ optional visual context)."""
+    (+ optional visual context). When ``attn_out`` is given, the attention
+    distributions are written into it (introspection path)."""
     dt = _cdt(cfg)
     attention = get_attention_fn()
-    att_ctx, _ = attention(
+    att_ctx, alpha = attention(
         params.attention, ctx.att_keys, ctx.enc_hs, h, ctx.mask,
         compute_dtype=dt,
     )  # [B, H]
+    if attn_out is not None:
+        attn_out["alpha"] = alpha  # over existing-caption positions
     # Gate matmul in compute dtype (matches every other matmul; the
     # sigmoid and the gating multiply stay fp32).
     gate = jax.nn.sigmoid(
@@ -220,12 +224,42 @@ def _recurrent_contexts(
     )
     parts = [gate * att_ctx]
     if ctx.features is not None and params.vis_attention is not None:
-        vis_ctx, _ = attention(
+        vis_ctx, vis_alpha = attention(
             params.vis_attention, ctx.vis_keys, ctx.features, h,
             None, compute_dtype=dt,
         )
+        if attn_out is not None:
+            attn_out["vis_alpha"] = vis_alpha
         parts.append(vis_ctx)
     return parts
+
+
+def step_attn(
+    params: DCNetParams,
+    cfg: ModelConfig,
+    ctx: DCNetContext,
+    state: DCNetState,
+    token: jax.Array,
+) -> tuple[DCNetState, jax.Array, dict]:
+    """Introspection step (ModelDef.step_attn): ``step``'s math plus the
+    text-attention distribution over the existing caption's positions
+    ("alpha"; plus "vis_alpha" when the visual flag is on) — which source
+    word the denoiser reads while emitting each output word."""
+    dt = _cdt(cfg)
+    lstm_cell = get_lstm_cell_fn()
+    emb = params.embedding[token]
+    attn: dict = {}
+    x = jnp.concatenate(
+        [emb] + _recurrent_contexts(params, cfg, ctx, state.h, attn),
+        axis=-1,
+    )
+    h, c = lstm_cell(params.decoder, x, state.h, state.c, compute_dtype=dt)
+    logits = (
+        jnp.dot(h.astype(dt), params.fc_w.astype(dt),
+                preferred_element_type=jnp.float32)
+        + params.fc_b
+    ).astype(jnp.float32)
+    return DCNetState(h=h, c=c), logits, attn
 
 
 def forward_seq(
@@ -413,5 +447,10 @@ def make_model(cfg: ModelConfig) -> ModelDef:
         forward_seq=(
             lambda params, ctx, state0, tokens_in, rng=None, train=False:
             forward_seq(params, cfg, ctx, state0, tokens_in, rng, train)
+        ),
+        step_attn=(
+            lambda params, ctx, state, token: step_attn(
+                params, cfg, ctx, state, token
+            )
         ),
     )

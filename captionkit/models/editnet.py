@@ -201,14 +201,17 @@ def _step_hidden(
     token: jax.Array,  # [B]
     rng: Optional[jax.Array] = None,
     train: bool = False,
-) -> tuple[EditNetState, jax.Array]:
+    return_attn: bool = False,
+):
     """One EditNet decode step up to (but not including) the vocab head —
     SURVEY.md §4.2's hot loop, one fused trace. Returns the (possibly
-    dropped-out) language hidden state the head consumes."""
+    dropped-out) language hidden state the head consumes; with
+    ``return_attn`` also the attention distributions (jnp path only —
+    the fused cell kernels don't emit them)."""
     dt = _cdt(cfg)
     emb = params.embedding[token]  # [B, E]
 
-    if ctx.cell_pack is not None and not train:
+    if ctx.cell_pack is not None and not train and not return_attn:
         # Fused cell kernels (cfg.cell_impl == "pallas"; the pack was
         # built by prepare_topk from this exact ctx). Inference-only:
         # the kernels have no backward and skip dropout.
@@ -250,7 +253,8 @@ def _step_hidden(
         zv = jnp.repeat(zv, N // B, axis=0)
     h_att, c_att = lstm_gates(z + zv + params.att_lstm.b, state.c_att)
 
-    return _finish_step(params, cfg, ctx, state, h_att, c_att, rng, train)
+    return _finish_step(params, cfg, ctx, state, h_att, c_att, rng, train,
+                        return_attn=return_attn)
 
 
 def _finish_step(
@@ -262,15 +266,19 @@ def _finish_step(
     c_att: jax.Array,
     rng: Optional[jax.Array],
     train: bool,
-) -> tuple[EditNetState, jax.Array]:
+    return_attn: bool = False,
+):
     """Steps 2–4 of the decode step (visual attention, SCMA, Copy-LSTM)
-    given the already-computed attention-LSTM state."""
+    given the already-computed attention-LSTM state. With ``return_attn``
+    a third element carries the step's attention distributions — the
+    paper's qualitative analysis surface (visual α over regions, SCMA β
+    over the existing caption's positions)."""
     dt = _cdt(cfg)
     copy_lstm_cell = get_copy_lstm_cell_fn()
     attention = get_attention_fn()
 
     # 2. Visual attention over regions (no mask: all 36 regions valid).
-    v_hat, _ = attention(
+    v_hat, alpha = attention(
         params.vis_attention, ctx.vis_keys, ctx.features, h_att,
         None, compute_dtype=dt,
     )  # [B, F]
@@ -292,7 +300,7 @@ def _finish_step(
     v_hat = (gate * v_hat).astype(dt)
 
     # 3. SCMA: select a memory cell state from the caption encoder.
-    c_star, _ = scma_select(
+    c_star, beta = scma_select(
         params.scma, ctx.scma_keys, ctx.enc_cs, h_att, ctx.mask,
         mode=cfg.scma_select, compute_dtype=dt, attention_fn=attention,
     )  # [B, H]
@@ -305,10 +313,11 @@ def _finish_step(
     )
 
     out = dropout(h_lang, cfg.dropout, rng, train)
-    return (
-        EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang, c_lang=c_lang),
-        out,
-    )
+    new_state = EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang,
+                             c_lang=c_lang)
+    if return_attn:
+        return new_state, out, {"alpha": alpha, "beta": beta}
+    return new_state, out
 
 
 def forward_seq(
@@ -452,6 +461,30 @@ def step(
     return new_state, logits
 
 
+def step_attn(
+    params: EditNetParams,
+    cfg: ModelConfig,
+    ctx: EditNetContext,
+    state: EditNetState,
+    token: jax.Array,
+) -> tuple[EditNetState, jax.Array, dict]:
+    """Introspection step (ModelDef.step_attn): same math as ``step`` but
+    also returns {"alpha": [B, R] visual attention over regions,
+    "beta": [B, T] SCMA distribution over existing-caption positions} —
+    the arrays behind the paper's qualitative figures (which word was
+    copied from where, which region grounded each generated word)."""
+    new_state, out, attn = _step_hidden(
+        params, cfg, ctx, state, token, None, False, return_attn=True
+    )
+    dt = _cdt(cfg)
+    logits = (
+        jnp.dot(out.astype(dt), params.fc_w.astype(dt),
+                preferred_element_type=jnp.float32)
+        + params.fc_b
+    ).astype(jnp.float32)
+    return new_state, logits, attn
+
+
 def prepare_topk(
     params: EditNetParams,
     cfg: ModelConfig,
@@ -566,5 +599,10 @@ def make_model(cfg: ModelConfig) -> ModelDef:
         forward_seq=(
             lambda params, ctx, state0, tokens_in, rng=None, train=False:
             forward_seq(params, cfg, ctx, state0, tokens_in, rng, train)
+        ),
+        step_attn=(
+            lambda params, ctx, state, token: step_attn(
+                params, cfg, ctx, state, token
+            )
         ),
     )

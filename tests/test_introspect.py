@@ -1,0 +1,106 @@
+"""Attention introspection (decode/introspect.py + ModelDef.step_attn):
+the surface behind the paper's qualitative copy/ground analyses."""
+
+import jax
+import numpy as np
+import pytest
+
+from captionkit.data import SyntheticCaptionSource
+from captionkit.decode import greedy_decode, greedy_decode_with_attention
+from captionkit.decode.introspect import attention_report
+from captionkit.models import get_model
+from captionkit.utils.config import ModelConfig
+
+
+def _setup(arch, **over):
+    src = SyntheticCaptionSource(num_images=6, captions_per_image=2,
+                                 num_regions=4, feat_dim=12, max_len=12,
+                                 seed=0)
+    mcfg = ModelConfig(arch=arch, vocab_size=len(src.vocab), emb_dim=16,
+                       hidden_dim=24, att_dim=8, feat_dim=12,
+                       num_regions=4, dropout=0.0,
+                       compute_dtype="float32", **over)
+    model = get_model(mcfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ds = src.eval_view()
+    import jax.numpy as jnp
+
+    feats = (None if arch == "dcnet" and not over.get("dcnet_use_visual")
+             else jnp.asarray(np.asarray(ds.features, np.float32)))
+    ctx = model.encode(params, feats,
+                       jnp.asarray(np.asarray(ds.existing, np.int32)),
+                       jnp.asarray(np.asarray(ds.existing_len, np.int32)))
+    return src, model, params, ctx, ds
+
+
+@pytest.mark.parametrize("arch", ["editnet", "dcnet"])
+def test_attention_trace_matches_plain_greedy(arch):
+    """Token/mask semantics are pinned to greedy_decode exactly."""
+    src, model, params, ctx, ds = _setup(arch)
+    v = src.vocab
+    kw = dict(start_id=v.start, end_id=v.end, pad_id=v.pad, max_len=10)
+    plain = greedy_decode(model, params, ctx, **kw)
+    trace = greedy_decode_with_attention(model, params, ctx, **kw)
+    np.testing.assert_array_equal(np.asarray(plain.tokens),
+                                  np.asarray(trace.rollout.tokens))
+    np.testing.assert_array_equal(np.asarray(plain.mask),
+                                  np.asarray(trace.rollout.mask))
+
+
+def test_editnet_attention_distributions_are_valid():
+    src, model, params, ctx, ds = _setup("editnet")
+    v = src.vocab
+    trace = greedy_decode_with_attention(
+        model, params, ctx, start_id=v.start, end_id=v.end, pad_id=v.pad,
+        max_len=8,
+    )
+    assert set(trace.attention) == {"alpha", "beta"}
+    alpha = np.asarray(trace.attention["alpha"])  # [B, L, R]
+    beta = np.asarray(trace.attention["beta"])  # [B, L, T]
+    B, L = np.asarray(trace.rollout.tokens).shape
+    assert alpha.shape == (B, L, 4)
+    assert beta.shape == (B, L, ds.existing.shape[1])
+    np.testing.assert_allclose(alpha.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(beta.sum(-1), 1.0, atol=1e-5)
+    # beta respects the encoder mask: padded positions get ~zero weight
+    lens = np.asarray(ds.existing_len)
+    for b in range(B):
+        if lens[b] < beta.shape[-1]:
+            assert beta[b, :, lens[b]:].max() < 1e-6
+
+
+def test_dcnet_alpha_masked_and_visual_variant():
+    src, model, params, ctx, ds = _setup("dcnet")
+    v = src.vocab
+    trace = greedy_decode_with_attention(
+        model, params, ctx, start_id=v.start, end_id=v.end, pad_id=v.pad,
+        max_len=8,
+    )
+    assert set(trace.attention) == {"alpha"}
+    alpha = np.asarray(trace.attention["alpha"])
+    lens = np.asarray(ds.existing_len)
+    for b in range(alpha.shape[0]):
+        if lens[b] < alpha.shape[-1]:
+            assert alpha[b, :, lens[b]:].max() < 1e-6
+    # visual flag adds the region distribution
+    src2, model2, params2, ctx2, _ = _setup("dcnet", dcnet_use_visual=True)
+    tr2 = greedy_decode_with_attention(
+        model2, params2, ctx2, start_id=v.start, end_id=v.end,
+        pad_id=v.pad, max_len=6,
+    )
+    assert set(tr2.attention) == {"alpha", "vis_alpha"}
+
+
+def test_attention_report_is_readable():
+    src, model, params, ctx, ds = _setup("editnet")
+    v = src.vocab
+    trace = greedy_decode_with_attention(
+        model, params, ctx, start_id=v.start, end_id=v.end, pad_id=v.pad,
+        max_len=8,
+    )
+    rep = attention_report(trace, 0, v, np.asarray(ds.existing[0]))
+    assert rep, "no steps in report"
+    for rec in rep:
+        assert isinstance(rec["word"], str)
+        assert "beta_word" in rec and "alpha_argmax" in rec
+        assert 0.0 <= rec["beta_weight"] <= 1.0
