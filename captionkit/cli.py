@@ -370,6 +370,10 @@ def cmd_convert(args) -> int:
               f"{len(fit.candidates)})")
         for n in fit.notes:
             print(f"  note: {n}")
+        if fit.unmatched_raw:
+            print(f"  WARNING: {len(fit.unmatched_raw)} checkpoint "
+                  f"tensor(s) not matched (NOT converted): "
+                  f"{fit.unmatched_raw[:8]}", file=sys.stderr)
         if args.fit_report:
             with open(args.fit_report, "w") as f:
                 json.dump({"translation": fit.translation,

@@ -143,15 +143,34 @@ def run_parity_gate(
     fit = fit_translation(state_dict_shapes(raw), cfg.model.arch, cfg.model)
     decisive = (expected_cider is not None
                 or expected_captions is not None)
+    # The sweep itself never writes params: each candidate's convert runs
+    # before its pass/fail verdict, so writing per candidate would leave
+    # the LAST candidate's weights on disk while the returned report
+    # describes another. The winner is saved once, below.
+    sweep_kw = dict(kw, out_params_path=None)
     reports = []
     for i, trans in enumerate(fit.candidates):
         rep = _gate_once(ckpt_path, translate_state_dict(raw, trans),
-                         cfg, dataset, name_map=None, **kw)
+                         cfg, dataset, name_map=None, **sweep_kw)
         rep["fit"] = {
             "candidate": i,
             "of": len(fit.candidates),
             "translation": trans,
         }
+        # Parity with the name-map path's strict key exhaustion: the
+        # translation only carries matched keys, so tensors the fit
+        # could not place must fail the convert check loudly rather
+        # than be silently dropped.
+        if fit.unmatched_raw:
+            rep["fit"]["unmatched_raw"] = fit.unmatched_raw
+            rep["checks"]["convert"] = {
+                "status": "fail",
+                "error": ("checkpoint tensors not matched by the fitted "
+                          f"layout: {fit.unmatched_raw[:8]} — convert "
+                          "via --name-map with __ignore_prefixes__ if "
+                          "these are intentionally extra"),
+            }
+            rep["ok"] = False
         if len(fit.candidates) > 1 and not decisive:
             rep["fit"]["warning"] = (
                 "shape-tied alternates exist but no --expected-cider / "
@@ -160,6 +179,14 @@ def run_parity_gate(
             )
         if rep["ok"]:
             rep["fit"]["notes"] = fit.notes
+            if kw["out_params_path"]:
+                from captionkit.train.checkpoint import save_params_npz
+
+                params = params_from_state_dict(
+                    translate_state_dict(raw, trans), cfg.model.arch
+                )
+                save_params_npz(params, kw["out_params_path"])
+                rep["params_npz"] = kw["out_params_path"]
             return rep
         reports.append(rep)
     best = reports[0]

@@ -8,8 +8,12 @@ argmax/done/pad rules — pinned by test); the only addition is that the
 scan also stacks each step's attention distributions from the model's
 ``step_attn`` hook:
 
-* EditNet: ``alpha`` [B, L, R] over regions, ``beta`` [B, L, T] over the
-  existing caption's positions.
+Key convention (models guarantee it): ``vis_alpha`` is always a
+distribution over REGIONS; ``alpha``/``beta`` are always distributions
+over the existing caption's positions and resolve to source words.
+
+* EditNet: ``vis_alpha`` [B, L, R] over regions, ``beta`` [B, L, T] over
+  the existing caption's positions.
 * DCNet: ``alpha`` [B, L, T] over the existing caption (plus
   ``vis_alpha`` when the visual flag is on).
 
@@ -107,11 +111,11 @@ def attention_report(
             j = int(dist.argmax())
             rec[key + "_argmax"] = j
             rec[key + "_weight"] = float(dist[j])
-            # Resolve to a source word only for distributions over the
-            # existing caption's positions (SCMA beta; DCNet's text
-            # alpha) — never for region distributions (visual alpha).
-            if (key != "vis_alpha" and len(dist) == len(existing_words)
-                    and j < len(existing_words)):
+            # Resolve to a source word only for caption-position
+            # distributions ("alpha"/"beta" by the key convention above);
+            # "vis_alpha" indexes regions, never words — even when the
+            # region count happens to equal the padded caption length.
+            if key != "vis_alpha" and j < len(existing_words):
                 rec[key + "_word"] = existing_words[j]
         out.append(rec)
     return out

@@ -76,9 +76,16 @@ class CaptionEvaluator:
                 # No jar/JVM on this host: report the in-process
                 # approximation under its own honest key (exact+stem
                 # stages only — see metrics/meteor.py for what it omits).
-                from captionkit.metrics.meteor import meteor_lite
+                # Same never-crash-the-evaluator stance as the jar
+                # scorers: the stemmer needs nltk, which is present on
+                # dev hosts but NOT a declared dependency — without it
+                # the metric is simply omitted, like before it existed.
+                try:
+                    from captionkit.metrics.meteor import meteor_lite
 
-                out["METEOR-lite"], _ = meteor_lite(hyp_tok, ref_tok)
+                    out["METEOR-lite"], _ = meteor_lite(hyp_tok, ref_tok)
+                except Exception:
+                    log.warning("METEOR-lite unavailable", exc_info=True)
         return out
 
 

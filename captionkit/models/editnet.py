@@ -316,7 +316,10 @@ def _finish_step(
     new_state = EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang,
                              c_lang=c_lang)
     if return_attn:
-        return new_state, out, {"alpha": alpha, "beta": beta}
+        # Key convention (decode.introspect relies on it): "vis_alpha" =
+        # distribution over REGIONS, "beta"/"alpha" = distributions over
+        # the existing caption's positions (word-resolvable).
+        return new_state, out, {"vis_alpha": alpha, "beta": beta}
     return new_state, out
 
 

@@ -102,7 +102,9 @@ def _pad_axis(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
+def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int,
+                h_itemsize: int | None = None,
+                logits_buffers: int = 1):
     """(TN, TV): double-buffered h/w/b blocks + fp32 logits tile + running
     top-k/lse scratch must fit the VMEM budget (at paper scale the budget
     admits (512,512) — see the module-level note: bigger tiles measured
@@ -119,7 +121,8 @@ def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
         # Same formula as the budget walk below (outs double-buffered,
         # run_m/run_s included, fp32 bias block) — an estimate that
         # undercounts would skip the warning exactly when it matters.
-        est = _vmem_cost(tn, tv, H, k, itemsize)
+        est = _vmem_cost(tn, tv, H, k, itemsize, h_itemsize,
+                         logits_buffers)
         if est > VMEM_BUDGET:
             import warnings
 
@@ -134,18 +137,27 @@ def _pick_tiles(N: int, H: int, V: int, k: int, itemsize: int):
                    (256, 512),
                    (256, 256), (128, 256), (128, 128), (64, 128),
                    (32, 128), (16, 128), (8, 128)):
-        if _vmem_cost(tn, tv, H, k, itemsize) <= VMEM_BUDGET:
+        if _vmem_cost(tn, tv, H, k, itemsize, h_itemsize,
+                      logits_buffers) <= VMEM_BUDGET:
             return min(tn, _round_up(N, 8)), min(tv, _round_up(V, 128))
     return 8, 128
 
 
-def _vmem_cost(tn: int, tv: int, H: int, k: int, itemsize: int) -> int:
+def _vmem_cost(tn: int, tv: int, H: int, k: int, itemsize: int,
+               h_itemsize: int | None = None,
+               logits_buffers: int = 1) -> int:
     """VMEM bytes a (TN, TV) tiling needs: double-buffered h/w/b blocks and
-    outputs, fp32 logits tile, running top-k + m/s scratch."""
-    h_blk = tn * H * itemsize
+    outputs, fp32 logits tile(s), running top-k + m/s scratch.
+
+    ``h_itemsize`` splits the activation-block width from the weight's —
+    the int8 kernel streams int8 WEIGHTS (itemsize=1) but its h blocks
+    arrive fp32 and it materializes an int32 accumulator tile next to
+    the fp32 logits (``logits_buffers=2``); pricing h at 1 byte there
+    would silently erase the budget's safety margin at paper scale."""
+    h_blk = tn * H * (h_itemsize if h_itemsize is not None else itemsize)
     w_blk = H * tv * itemsize
     b_blk = tv * 4
-    logits = tn * tv * 4
+    logits = tn * tv * 4 * logits_buffers
     scratch = tn * (2 * _round_up(k, 128) + 2 * 128) * 4
     outs = tn * (2 * _round_up(k, 128) + 128) * 4
     return 2 * (h_blk + w_blk + b_blk + outs) + logits + scratch
@@ -486,7 +498,10 @@ def quantize_head(
     exp(-1e30) = 0 to the log-sum-exp — same convention as prepad_head.
     """
     H, V = w.shape
-    TN, TV = _pick_tiles(n_rows, H, V, k, 1)  # int8 itemsize
+    # int8 weights, fp32 h blocks, int32 accumulator + fp32 logits tiles
+    # (see _vmem_cost) — MUST match fused_head_topk_int8's walk exactly.
+    TN, TV = _pick_tiles(n_rows, H, V, k, 1, h_itemsize=4,
+                         logits_buffers=2)
     TV = min(TV, _round_up(V, 128))
     Vp = _round_up(V, TV)
     wf = w.astype(jnp.float32)
@@ -519,7 +534,7 @@ def fused_head_topk_int8(
     """
     N, H = h.shape
     Vp = w_q.shape[1]
-    TN, TV = _pick_tiles(N, H, Vp, k, 1)
+    TN, TV = _pick_tiles(N, H, Vp, k, 1, h_itemsize=4, logits_buffers=2)
     TN = min(TN, _round_up(N, 8))
     TV = min(TV, Vp)
     if Vp % TV:

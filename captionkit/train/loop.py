@@ -465,18 +465,27 @@ def run_scst_training(
     def _tick(metrics, epoch):
         nonlocal steps_done
         steps_done += 1
-        # mean_advantage is masked over valid rows (padded tail rows of the
-        # final batch carry duplicate garbage rewards).
-        meter_rw.update(float(metrics["mean_advantage"]))
+        # Progress signal: single-sample reports the masked mean advantage
+        # (sample − greedy). Under multi-sample the leave-one-out
+        # advantages sum to ZERO per image by construction, so the mean
+        # reward of the samples (apply_rollout's reward_sample_mean) is
+        # the quantity that actually tracks learning.
+        meter_rw.update(float(
+            metrics.get("reward_sample_mean", metrics["mean_advantage"])
+        ))
         if steps_done % tcfg.log_every == 0:
+            signal = ("mean sample reward"
+                      if "reward_sample_mean" in metrics
+                      else "mean advantage")
             log.info(
-                "scst epoch %d step %d mean advantage %.4f",
-                epoch, steps_done, meter_rw.avg,
+                "scst epoch %d step %d %s %.4f",
+                epoch, steps_done, signal, meter_rw.avg,
             )
             if metrics_logger is not None:
-                metrics_logger.log(steps_done, {
-                    "scst/mean_advantage": meter_rw.avg,
-                })
+                key = ("scst/reward_sample_mean"
+                       if "reward_sample_mean" in metrics
+                       else "scst/mean_advantage")
+                metrics_logger.log(steps_done, {key: meter_rw.avg})
 
     for epoch in range(tcfg.scst_epochs):
         meter_rw = AverageMeter()

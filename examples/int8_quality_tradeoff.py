@@ -36,8 +36,10 @@ def main() -> int:
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    import numpy as np
+
     from captionkit.data import SyntheticCaptionSource
-    from captionkit.decode.driver import decode_split, evaluate_split
+    from captionkit.decode.driver import decode_split
     from captionkit.models import get_model
     from captionkit.train import create_train_state
     from captionkit.train.loop import run_xe_training
@@ -74,15 +76,27 @@ def main() -> int:
     )
     eval_ds = src.eval_view()
 
+    from captionkit.metrics import evaluate_captions
+
+    # References keyed the way decode_split keys its hypotheses (real
+    # image ids when the split carries them, dense index otherwise).
+    refs = {}
+    for row, dense in enumerate(np.asarray(eval_ds.image_index)):
+        img = (int(eval_ds.image_ids[int(dense)])
+               if eval_ds.image_ids is not None else int(dense))
+        refs[img] = [" ".join(r) for r in eval_ds.references[int(dense)]]
+
     results = {}
     captions: dict[str, dict] = {}
     for quant in ("none", "int8"):
         mcfg = dataclasses.replace(cfg.model, head_quant=quant)
         qmodel = get_model(mcfg)
+        # ONE decode per setting: score the captions we already have
+        # (evaluate_split would re-decode the identical split).
         hyps, _ = decode_split(qmodel, state.params, eval_ds, cfg.decode)
         captions[quant] = hyps  # {image_id: caption}
-        results[quant] = evaluate_split(
-            qmodel, state.params, eval_ds, cfg.decode
+        results[quant] = evaluate_captions(
+            {i: refs[i] for i in hyps}, hyps
         )["CIDEr"]
         print(f"head_quant={quant}: CIDEr {results[quant]:.3f}")
 

@@ -54,8 +54,8 @@ def test_editnet_attention_distributions_are_valid():
         model, params, ctx, start_id=v.start, end_id=v.end, pad_id=v.pad,
         max_len=8,
     )
-    assert set(trace.attention) == {"alpha", "beta"}
-    alpha = np.asarray(trace.attention["alpha"])  # [B, L, R]
+    assert set(trace.attention) == {"vis_alpha", "beta"}
+    alpha = np.asarray(trace.attention["vis_alpha"])  # [B, L, R]
     beta = np.asarray(trace.attention["beta"])  # [B, L, T]
     B, L = np.asarray(trace.rollout.tokens).shape
     assert alpha.shape == (B, L, 4)
@@ -102,5 +102,6 @@ def test_attention_report_is_readable():
     assert rep, "no steps in report"
     for rec in rep:
         assert isinstance(rec["word"], str)
-        assert "beta_word" in rec and "alpha_argmax" in rec
+        assert "beta_word" in rec and "vis_alpha_argmax" in rec
+        assert "vis_alpha_word" not in rec  # regions never words
         assert 0.0 <= rec["beta_weight"] <= 1.0

@@ -384,3 +384,23 @@ def test_convert_cli_fit_names(tmp_path, capsys, twin, synth):
     blob = json.loads(rep.read_text())
     assert len(blob["alternates"]) == 3
     assert blob["unmatched_raw"] == []
+
+
+def test_parity_gate_fit_names_fails_on_unmatched_tensors(tmp_path, synth,
+                                                          twin):
+    """Tensors the fit cannot place must FAIL the convert check loudly
+    (parity with the name-map path's strict key exhaustion), not be
+    silently dropped from the converted params."""
+    from captionkit.convert.gate import run_parity_gate
+
+    sd = dict(_scramble_editnet(twin.state_dict()))
+    sd["mystery.extra_weight"] = torch.zeros(7, 9)
+    ckpt = tmp_path / "extra.pth"
+    torch.save(sd, ckpt)
+    cfg = _gate_cfg(len(synth.vocab))
+    report = run_parity_gate(str(ckpt), cfg, synth.dataset, fit_names=True,
+                             out_params_path=str(tmp_path / "p.npz"))
+    assert report["ok"] is False
+    assert report["checks"]["convert"]["status"] == "fail"
+    assert "mystery.extra_weight" in str(report["checks"]["convert"])
+    assert not (tmp_path / "p.npz").exists()  # no params for a failed gate
