@@ -511,6 +511,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="toy vocab + random weights (demo/tests)")
     sp.add_argument("--batch", type=int, default=8,
                     help="compiled micro-batch size")
+    sp.add_argument("--ladder", default="",
+                    help="comma-separated smaller batch rungs (e.g. "
+                         "'1,8'): a drained batch pads to the smallest "
+                         "rung that fits instead of the full --batch — "
+                         "low-load latency scales with the load")
     sp.add_argument("--seed", type=int, default=0)
 
     sp = sub.add_parser(
@@ -613,7 +618,9 @@ def cmd_serve(args) -> int:
     mcfg = cfg.model
     model = get_model(mcfg)
     params = _load_params(args, model, mcfg)
-    server = CaptionServer(cfg, params, model, vocab)
+    ladder = ([int(s) for s in args.ladder.split(",")]
+              if args.ladder else ())
+    server = CaptionServer(cfg, params, model, vocab, ladder=ladder)
     serve_stream(server, sys.stdin, sys.stdout)
     return 0
 

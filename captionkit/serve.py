@@ -3,11 +3,14 @@ JSON-lines micro-batching (SURVEY.md has no reference equivalent — the
 reference decodes offline scripts only; this is the deployment surface a
 production framework adds on top).
 
-Design: the decode program is compiled ONCE for a fixed micro-batch
-size; incoming requests queue until the batch fills (or a flush/EOF
-drains it) and the tail batch pads by repeating the last row — static
-shapes, zero steady-state recompiles. Padding rows never leak: only the
-first `len(requests)` outputs are answered.
+Design: the decode program compiles once PER LADDER SIZE; incoming
+requests queue until the largest batch fills (or a flush/EOF drains the
+queue), and each drained batch pads only up to the smallest ladder size
+that fits — so a 3-request flush on a ladder of (1, 8, 64) runs the
+8-wide program, not the 64-wide one (low-load latency and cost scale
+with the load, not the peak). Static shapes per rung, zero steady-state
+recompiles. Padding rows never leak: only the first `len(requests)`
+outputs are answered.
 
 Protocol (one JSON object per line):
   request:  {"id": <any>, "caption": "existing caption to edit",
@@ -32,7 +35,8 @@ from captionkit.utils.config import CaptionKitConfig
 class CaptionServer:
     """Holds the compiled decode program + vocab; stateless per request."""
 
-    def __init__(self, cfg: CaptionKitConfig, params: Any, model, vocab):
+    def __init__(self, cfg: CaptionKitConfig, params: Any, model, vocab,
+                 *, ladder: Sequence[int] = ()):
         import jax
 
         from captionkit.decode.driver import make_decode_fn
@@ -42,6 +46,16 @@ class CaptionServer:
         self.vocab = vocab
         self.params = params
         self.batch = cfg.decode.batch_size
+        # Padding ladder: each drained batch pads to the smallest rung
+        # that fits (jit specializes the one decode fn per shape, so a
+        # rung's program compiles lazily on its first use). Default: the
+        # single full batch size (the original behavior).
+        sizes = sorted({int(s) for s in ladder} | {self.batch})
+        if any(s < 1 or s > self.batch for s in sizes):
+            raise ValueError(
+                f"ladder sizes must be in [1, {self.batch}]: {sizes}"
+            )
+        self.ladder = tuple(sizes)
         self.max_existing_len = cfg.data.max_existing_len
         self.num_regions = cfg.model.num_regions
         self.feat_dim = cfg.model.feat_dim
@@ -50,21 +64,26 @@ class CaptionServer:
             pad_id=vocab.pad,
         )
 
+    def _rung(self, b: int) -> int:
+        return next(s for s in self.ladder if s >= b)
+
     def run_batch(
         self, feats: np.ndarray, captions: Sequence[str]
     ) -> list[str]:
         """feats [b, R, F], b <= self.batch; returns b edited captions.
-        The tail pads by repeating the last row (static shapes)."""
+        The tail pads by repeating the last row, up to the smallest
+        ladder rung that fits (static shapes per rung)."""
         import jax.numpy as jnp
 
         b = len(captions)
-        pad = self.batch - b
+        target = self._rung(b)
+        pad = target - b
         if pad:
             feats = np.concatenate([feats] + [feats[-1:]] * pad, axis=0)
         T = self.max_existing_len
-        ids = np.zeros((self.batch, T), np.int32)
-        lens = np.zeros((self.batch,), np.int32)
-        for i in range(self.batch):
+        ids = np.zeros((target, T), np.int32)
+        lens = np.zeros((target,), np.int32)
+        for i in range(target):
             cap = captions[min(i, b - 1)]
             enc, ln = self.vocab.encode(cap.split(), max_len=T)
             ids[i] = enc
@@ -98,7 +117,8 @@ def serve_stream(server: CaptionServer, in_stream, out_stream) -> int:
             served += 1
         pending.clear()
 
-    emit({"ready": True, "batch": server.batch})
+    emit({"ready": True, "batch": server.batch,
+          "ladder": list(server.ladder)})
     for line in in_stream:
         line = line.strip()
         if not line:

@@ -64,3 +64,64 @@ def test_serve_round_trip(entry):
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     _check(proc.stdout)
+
+
+def test_serve_ladder_pads_to_smallest_rung():
+    """In-process: a 3-request flush on ladder (1, 4, 8) must run the
+    4-wide program, a single request the 1-wide one, and the answers must
+    match the full-batch server's exactly (padding is semantics-free)."""
+    import io
+
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.serve import CaptionServer, serve_stream
+    from captionkit.utils.config import CaptionKitConfig
+
+    cfg = CaptionKitConfig().override({
+        "model.emb_dim": 16, "model.hidden_dim": 24, "model.att_dim": 8,
+        "model.feat_dim": 12, "model.num_regions": 4,
+        "decode.method": "beam", "decode.beam_size": 3,
+        "decode.max_decode_len": 8, "decode.batch_size": 8,
+        "data.max_existing_len": 12,
+    })
+    src = SyntheticCaptionSource(num_images=2, captions_per_image=1,
+                                 num_regions=4, feat_dim=12, max_len=12,
+                                 seed=0)
+    cfg = cfg.override({"model.vocab_size": len(src.vocab)})
+    model = get_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    server = CaptionServer(cfg, params, model, src.vocab, ladder=(1, 4))
+    assert server.ladder == (1, 4, 8)
+    full = CaptionServer(cfg, params, model, src.vocab)
+    assert full.ladder == (8,)
+
+    seen = []
+    inner = server._decode_fn
+
+    def spy(params, feats, ids, lens, t0):
+        seen.append(int(feats.shape[0]))
+        return inner(params, feats, ids, lens, t0)
+
+    server._decode_fn = spy
+    rng = np.random.default_rng(1)
+    feats3 = rng.standard_normal((3, 4, 12)).astype(np.float32)
+    caps3 = ["a dog runs", "a cat sits", "a man rides"]
+    out3 = server.run_batch(feats3, caps3)
+    out1 = server.run_batch(feats3[:1], caps3[:1])
+    assert seen == [4, 1]
+    # answers identical to the always-full-batch server
+    assert out3 == full.run_batch(feats3, caps3)
+    assert out1 == full.run_batch(feats3[:1], caps3[:1])
+
+    # the stream protocol advertises the ladder
+    out = io.StringIO()
+    serve_stream(server, io.StringIO(""), out)
+    ready = json.loads(out.getvalue().splitlines()[0])
+    assert ready["ladder"] == [1, 4, 8]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CaptionServer(cfg, params, model, src.vocab, ladder=(16,))
