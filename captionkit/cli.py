@@ -516,6 +516,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "'1,8'): a drained batch pads to the smallest "
                          "rung that fits instead of the full --batch — "
                          "low-load latency scales with the load")
+    sp.add_argument("--flush-ms", dest="flush_ms", type=float, default=0,
+                    help="max milliseconds a queued request waits for "
+                         "the batch to fill before a partial batch is "
+                         "decoded anyway (0 = only explicit flush/EOF "
+                         "drain, the original semantics)")
+    sp.add_argument("--warmup", action="store_true",
+                    help="compile every ladder rung before reading "
+                         "requests (no first-request compile stall)")
     sp.add_argument("--seed", type=int, default=0)
 
     sp = sub.add_parser(
@@ -621,7 +629,10 @@ def cmd_serve(args) -> int:
     ladder = ([int(s) for s in args.ladder.split(",")]
               if args.ladder else ())
     server = CaptionServer(cfg, params, model, vocab, ladder=ladder)
-    serve_stream(server, sys.stdin, sys.stdout)
+    if args.warmup:
+        server.warmup()
+    serve_stream(server, sys.stdin, sys.stdout,
+                 flush_ms=args.flush_ms or None)
     return 0
 
 

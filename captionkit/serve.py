@@ -25,7 +25,7 @@ Startup emits {"ready": true, "batch": N} once the program is built.
 from __future__ import annotations
 
 import json
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -67,6 +67,15 @@ class CaptionServer:
     def _rung(self, b: int) -> int:
         return next(s for s in self.ladder if s >= b)
 
+    def warmup(self) -> None:
+        """Compile every ladder rung up front (dummy rows) so no client
+        request ever pays a first-use compile."""
+        feats = np.zeros((1, self.num_regions, self.feat_dim), np.float32)
+        for s in self.ladder:
+            self.run_batch(
+                np.repeat(feats, s, axis=0), ["<unk>"] * s
+            )
+
     def run_batch(
         self, feats: np.ndarray, captions: Sequence[str]
     ) -> list[str]:
@@ -96,8 +105,23 @@ class CaptionServer:
         return [self.vocab.decode_to_string(tokens[i]) for i in range(b)]
 
 
-def serve_stream(server: CaptionServer, in_stream, out_stream) -> int:
-    """Drive the JSON-lines protocol until EOF. Returns requests served."""
+def serve_stream(
+    server: CaptionServer,
+    in_stream,
+    out_stream,
+    *,
+    flush_ms: Optional[float] = None,
+) -> int:
+    """Drive the JSON-lines protocol until EOF. Returns requests served.
+
+    ``flush_ms``: maximum time a queued request may wait for the batch to
+    fill before a partial batch is decoded anyway — the standard
+    micro-batching latency bound. Without it (the default, and the
+    original semantics) partial batches drain only on an explicit
+    {"flush": true} line or EOF, so a lone request can wait forever on a
+    long-lived connection. Implemented with a reader thread so the wait
+    never blocks on the input stream itself.
+    """
     R, F = server.num_regions, server.feat_dim
     pending: list[tuple] = []
     served = 0
@@ -117,20 +141,15 @@ def serve_stream(server: CaptionServer, in_stream, out_stream) -> int:
             served += 1
         pending.clear()
 
-    emit({"ready": True, "batch": server.batch,
-          "ladder": list(server.ladder)})
-    for line in in_stream:
-        line = line.strip()
-        if not line:
-            continue
+    def handle(line: str) -> None:
         try:
             req = json.loads(line)
         except json.JSONDecodeError as e:
             emit({"error": f"bad JSON: {e}"})
-            continue
+            return
         if req.get("flush"):
             flush()
-            continue
+            return
         try:
             if "features_inline" in req:
                 feats = np.asarray(req["features_inline"], np.float32)
@@ -138,16 +157,53 @@ def serve_stream(server: CaptionServer, in_stream, out_stream) -> int:
                 feats = np.load(req["features"]).astype(np.float32)
         except Exception as e:  # bad path/payload answers, not crashes
             emit({"id": req.get("id"), "error": f"features: {e}"})
-            continue
+            return
         if feats.ndim == 3 and feats.shape[0] == 1:
             feats = feats[0]
         if feats.shape != (R, F):
             emit({"id": req.get("id"),
                   "error": f"features must be [{R}, {F}], "
                            f"got {list(feats.shape)}"})
-            continue
+            return
         pending.append((req.get("id"), feats, req.get("caption", "")))
         if len(pending) >= server.batch:
             flush()
+
+    emit({"ready": True, "batch": server.batch,
+          "ladder": list(server.ladder)})
+
+    if flush_ms is None:
+        for line in in_stream:
+            line = line.strip()
+            if line:
+                handle(line)
+        flush()
+        return served
+
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue()
+    _EOF = object()
+
+    def reader() -> None:
+        for line in in_stream:
+            q.put(line)
+        q.put(_EOF)
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        try:
+            item = q.get(
+                timeout=(flush_ms / 1000.0) if pending else None
+            )
+        except queue.Empty:
+            flush()  # latency bound hit: drain the partial batch
+            continue
+        if item is _EOF:
+            break
+        line = item.strip()
+        if line:
+            handle(line)
     flush()
     return served

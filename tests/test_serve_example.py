@@ -125,3 +125,72 @@ def test_serve_ladder_pads_to_smallest_rung():
 
     with _pytest.raises(ValueError):
         CaptionServer(cfg, params, model, src.vocab, ladder=(16,))
+
+
+def test_serve_flush_ms_drains_partial_batch_without_eof():
+    """A lone request on a long-lived connection must be answered within
+    the latency bound, not wait for EOF/flush. Driven over a real pipe:
+    the writer sends ONE request and keeps the stream open until it has
+    seen the response."""
+    import io
+    import os
+    import threading
+
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.serve import CaptionServer, serve_stream
+    from captionkit.utils.config import CaptionKitConfig
+
+    cfg = CaptionKitConfig().override({
+        "model.emb_dim": 16, "model.hidden_dim": 24, "model.att_dim": 8,
+        "model.feat_dim": 12, "model.num_regions": 4,
+        "decode.method": "beam", "decode.beam_size": 3,
+        "decode.max_decode_len": 8, "decode.batch_size": 8,
+        "data.max_existing_len": 12,
+    })
+    src = SyntheticCaptionSource(num_images=2, captions_per_image=1,
+                                 num_regions=4, feat_dim=12, max_len=12,
+                                 seed=0)
+    cfg = cfg.override({"model.vocab_size": len(src.vocab)})
+    model = get_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    server = CaptionServer(cfg, params, model, src.vocab, ladder=(1,))
+    server.warmup()  # also exercises the warmup path per rung
+
+    r_fd, w_fd = os.pipe()
+    in_stream = os.fdopen(r_fd, "r")
+    writer = os.fdopen(w_fd, "w")
+    out = io.StringIO()
+    answered = threading.Event()
+
+    class _Out:
+        def write(self, s):
+            out.write(s)
+            if '"caption"' in s:
+                answered.set()
+            return len(s)
+
+        def flush(self):
+            pass
+
+    def client():
+        req = json.dumps({
+            "id": 7,
+            "features_inline": np.zeros((4, 12)).tolist(),
+            "caption": "a dog runs",
+        })
+        writer.write(req + "\n")
+        writer.flush()
+        # Hold the connection open until the timeout flush answers.
+        assert answered.wait(timeout=30), "no timeout flush within 30s"
+        writer.close()  # now EOF ends the server loop
+
+    t = threading.Thread(target=client)
+    t.start()
+    served = serve_stream(server, in_stream, _Out(), flush_ms=50)
+    t.join()
+    assert served == 1
+    lines = [json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert lines[-1]["id"] == 7 and isinstance(lines[-1]["caption"], str)
