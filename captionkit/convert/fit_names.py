@@ -108,16 +108,23 @@ def expected_components(arch: str, mcfg) -> list[_Comp]:
             _Comp("fc", "linear", dict(out=V, in_dim=H)),
         ]
     if arch == "dcnet":
-        return [
+        visual = bool(getattr(mcfg, "dcnet_use_visual", False))
+        dec_in = E + H + (F if visual else 0)
+        comps = [
             _Comp("embedding", "emb", dict(shape=(V, E))),
             _Comp("encoder", "lstm", dict(h=H, in_dim=E)),
             _Comp("attention", "attention", dict(a=A, enc=H, q=H)),
             _Comp("f_beta", "linear", dict(out=H, in_dim=H)),
-            _Comp("decode_step", "lstm", dict(h=H, in_dim=E + H)),
+            _Comp("decode_step", "lstm", dict(h=H, in_dim=dec_in)),
             _Comp("init_h", "linear", dict(out=H, in_dim=H)),
             _Comp("init_c", "linear", dict(out=H, in_dim=H)),
             _Comp("fc", "linear", dict(out=V, in_dim=H)),
         ]
+        if visual:
+            comps.append(
+                _Comp("vis_attention", "attention", dict(a=A, enc=F, q=H))
+            )
+        return comps
     raise ValueError(f"unknown arch {arch!r}")
 
 
@@ -505,12 +512,19 @@ def infer_dims(shapes: Mapping[str, Shape], arch: str) -> dict[str, int]:
                        if s[0] == V and s[1] != H] or [H]
             E = e_cands[0]
             dims = dict(vocab_size=V, emb_dim=E, hidden_dim=H, att_dim=A)
+            widths = sorted(s[1] for s in two_d if s[0] == 4 * H)
             if arch == "editnet":
-                widths = sorted(s[1] for s in two_d if s[0] == 4 * H)
                 F = widths[-1] - E - H
                 if F <= 0:
                     continue
                 dims["feat_dim"] = F
+            else:
+                # DCNet: a decoder wider than E+H betrays the visual
+                # variant (its input concatenates the [*, F] context).
+                extra = widths[-1] - E - H
+                if extra > 0:
+                    dims["feat_dim"] = extra
+                    dims["dcnet_use_visual"] = True
             return dims
     raise FitError("could not infer (V, E, H) from the checkpoint shapes")
 

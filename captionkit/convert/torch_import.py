@@ -58,6 +58,9 @@ DEFAULT_NAME_MAPS: dict[str, dict[str, object]] = {
         "fc": "fc",
         "init_h": "init_h",
         "init_c": "init_c",
+        # Visual variant (cfg.dcnet_use_visual): converted when the
+        # checkpoint carries the module, absent otherwise.
+        "vis_attention": "vis_attention",
     },
     "editnet": {
         **_COMMON,
@@ -201,6 +204,11 @@ def dcnet_params_from_state_dict(
     fc_w, fc_b = _linear(sd, str(nm["fc"]), nm)
     init_h_w, init_h_b = _linear(sd, str(nm["init_h"]), nm)
     init_c_w, init_c_b = _linear(sd, str(nm["init_c"]), nm)
+    # Visual variant: convert the module when the checkpoint has it
+    # (cfg.dcnet_use_visual decides at model-build time; a text-only
+    # checkpoint simply lacks these keys).
+    vis_prefix = f"{nm['vis_attention']}.{nm['__att_enc__']}"
+    has_visual = any(k.startswith(vis_prefix + ".") for k in sd.raw)
     params = DCNetParams(
         embedding=sd.take(str(nm["embedding"])),
         encoder=lstm_from(sd, str(nm["encoder"]), nm),
@@ -210,7 +218,8 @@ def dcnet_params_from_state_dict(
         decoder=lstm_from(sd, str(nm["decoder"]), nm),
         fc_w=fc_w,
         fc_b=fc_b,
-        vis_attention=None,
+        vis_attention=(attention_from(sd, str(nm["vis_attention"]), nm)
+                       if has_visual else None),
         init_h_w=init_h_w,
         init_c_w=init_c_w,
         init_h_b=init_h_b,

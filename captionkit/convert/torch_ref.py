@@ -86,34 +86,47 @@ def _encode_frozen(cell: ManualLSTMCell, emb, lengths):
 
 
 class TorchDCNet(nn.Module):
-    """Twin of captionkit.models.dcnet (text-only form)."""
+    """Twin of captionkit.models.dcnet (text-only by default; the
+    cfg.dcnet_use_visual variant adds top-down visual attention whose
+    context concatenates into the decoder input — SURVEY.md §8.4)."""
 
     def __init__(self, vocab: int, emb: int = 1024, hidden: int = 1024,
-                 att: int = 512):
+                 att: int = 512, *, use_visual: bool = False,
+                 feat: int = 2048):
         super().__init__()
         self.embedding = nn.Embedding(vocab, emb)
         self.encoder = ManualLSTMCell(emb, hidden)
         self.attention = Attention(hidden, hidden, att)
         self.f_beta = nn.Linear(hidden, hidden)
-        self.decode_step = ManualLSTMCell(emb + hidden, hidden)
+        self.use_visual = use_visual
+        dec_in = emb + hidden
+        if use_visual:
+            self.vis_attention = Attention(feat, hidden, att)
+            dec_in += feat
+        self.decode_step = ManualLSTMCell(dec_in, hidden)
         self.init_h = nn.Linear(hidden, hidden)
         self.init_c = nn.Linear(hidden, hidden)
         self.fc = nn.Linear(hidden, vocab)
 
-    def encode(self, existing, lengths):
+    def encode(self, existing, lengths, features=None):
         emb = self.embedding(existing)
         hs, cs = _encode_frozen(self.encoder, emb, lengths)
         T = existing.shape[1]
         mask = torch.arange(T)[None, :] < lengths[:, None]
         h0 = self.init_h(hs[:, -1])
         c0 = self.init_c(cs[:, -1])
-        return {"enc_hs": hs, "mask": mask, "h0": h0, "c0": c0}
+        return {"enc_hs": hs, "mask": mask, "h0": h0, "c0": c0,
+                **({"features": features} if features is not None else {})}
 
     def step(self, ctx, h, c, token):
         emb = self.embedding(token)
         att_ctx, _ = self.attention(ctx["enc_hs"], h, ctx["mask"])
         att_ctx = torch.sigmoid(self.f_beta(h)) * att_ctx
-        h, c = self.decode_step(torch.cat([emb, att_ctx], -1), h, c)
+        parts = [emb, att_ctx]
+        if self.use_visual:
+            vis_ctx, _ = self.vis_attention(ctx["features"], h)
+            parts.append(vis_ctx)
+        h, c = self.decode_step(torch.cat(parts, -1), h, c)
         return h, c, self.fc(h)
 
     def init_state(self, ctx):

@@ -211,3 +211,41 @@ def test_dcnet_beam_decode_matches_torch_slow_beam(dcnet_pair):
         )
         got = ours[b][: len(ref_seq)].tolist()
         assert got == ref_seq, f"image {b}: {got} != {ref_seq}"
+
+
+def test_dcnet_visual_variant_converts_and_matches():
+    """cfg.dcnet_use_visual: the converter picks up the checkpoint's
+    vis_attention module (previously hardcoded to None) and the stepwise
+    logits match the visual torch twin."""
+    torch.manual_seed(4)
+    tmodel = TorchDCNet(V, E, H, A, use_visual=True, feat=F).eval()
+    params = dcnet_params_from_state_dict(tmodel.state_dict())
+    assert params.vis_attention is not None
+    cfg = ModelConfig(arch="dcnet", vocab_size=V, emb_dim=E, hidden_dim=H,
+                      att_dim=A, feat_dim=F, num_regions=R, dropout=0.0,
+                      compute_dtype="float32", dcnet_use_visual=True)
+    model = get_model(cfg)
+    feats, existing, lengths = _data(seed=9)
+    with torch.no_grad():
+        tctx = tmodel.encode(torch.from_numpy(existing),
+                             torch.from_numpy(lengths),
+                             torch.from_numpy(feats))
+        h, c = tmodel.init_state(tctx)
+    ctx = model.encode(params, jnp.asarray(feats),
+                       jnp.asarray(existing.astype(np.int32)),
+                       jnp.asarray(lengths.astype(np.int32)))
+    state = model.init_state(params, ctx)
+    tok = np.full((3,), START, np.int32)
+    for _ in range(5):
+        with torch.no_grad():
+            h, c, tlogits = tmodel.step(
+                tctx, h, c, torch.from_numpy(tok.astype(np.int64)))
+        state, logits = model.step(params, ctx, state, jnp.asarray(tok))
+        np.testing.assert_allclose(np.asarray(logits), tlogits.numpy(),
+                                   atol=2e-4)
+        tok = np.argmax(tlogits.numpy(), -1).astype(np.int32)
+    # A text-only checkpoint still converts with vis_attention=None.
+    torch.manual_seed(5)
+    text = TorchDCNet(V, E, H, A).eval()
+    p2 = dcnet_params_from_state_dict(text.state_dict())
+    assert p2.vis_attention is None

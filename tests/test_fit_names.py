@@ -349,3 +349,32 @@ def test_fit_names_randomized_layout_fuzz():
         # leaf conventions were kept, so hints must put the truth FIRST
         assert np.allclose(logits_for(fit.translation), tlogits,
                            atol=2e-4), (trial, e, hdim, a, f, fit.notes)
+
+
+def test_dcnet_visual_variant_fits():
+    """The fitter handles the visual DCNet: an extra [A,F] attention
+    component and the widened decoder input."""
+    torch.manual_seed(9)
+    tmodel = TorchDCNet(V, E, H, A, use_visual=True, feat=F).eval()
+    raw = _rename(tmodel.state_dict(),
+                  {"embedding": "w0", "encoder": "w1", "attention": "w2",
+                   "f_beta": "w3", "decode_step": "w4", "init_h": "w5",
+                   "init_c": "w6", "fc": "w7", "vis_attention": "w8"})
+    mcfg = ModelConfig(arch="dcnet", vocab_size=V, emb_dim=E, hidden_dim=H,
+                       att_dim=A, feat_dim=F, num_regions=R, dropout=0.0,
+                       compute_dtype="float32", dcnet_use_visual=True)
+    fit = fit_translation(state_dict_shapes(raw), "dcnet", mcfg)
+    assert any(k.startswith("vis_attention.") for k in fit.translation)
+    assert fit.unmatched_raw == []
+
+
+def test_infer_dims_detects_visual_dcnet():
+    from captionkit.convert.fit_names import infer_dims
+
+    torch.manual_seed(9)
+    tmodel = TorchDCNet(V, E, H, A, use_visual=True, feat=F).eval()
+    dims = infer_dims(state_dict_shapes(tmodel.state_dict()), "dcnet")
+    assert dims["dcnet_use_visual"] is True and dims["feat_dim"] == F
+    text = TorchDCNet(V, E, H, A).eval()
+    dims2 = infer_dims(state_dict_shapes(text.state_dict()), "dcnet")
+    assert "dcnet_use_visual" not in dims2
