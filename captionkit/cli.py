@@ -524,6 +524,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--warmup", action="store_true",
                     help="compile every ladder rung before reading "
                          "requests (no first-request compile stall)")
+    sp.add_argument("--stacked", action="store_true",
+                    help="serve the DCNet->EditNet stacked pipeline "
+                         "(--params = EditNet, --dcnet-params = DCNet)")
+    sp.add_argument("--dcnet-params", dest="dcnet_params",
+                    help="DCNet params .npz for --stacked")
     sp.add_argument("--seed", type=int, default=0)
 
     sp = sub.add_parser(
@@ -628,7 +633,39 @@ def cmd_serve(args) -> int:
     params = _load_params(args, model, mcfg)
     ladder = ([int(s) for s in args.ladder.split(",")]
               if args.ladder else ())
-    server = CaptionServer(cfg, params, model, vocab, ladder=ladder)
+    decode_fn = None
+    if args.stacked:
+        # Serve the full edit pipeline: DCNet denoises the incoming
+        # caption, EditNet edits DCNet's output (one jitted program,
+        # same convention as the decode-stacked command: greedy first
+        # stage, the configured decode as the second).
+        import dataclasses
+
+        from captionkit.decode.stacked import make_stacked_decode_fn
+
+        mcfg_d = dataclasses.replace(mcfg, arch="dcnet")
+        dcnet = get_model(mcfg_d)
+        if args.dcnet_params:
+            from captionkit.train.checkpoint import load_params_npz
+
+            dp = load_params_npz(
+                dcnet.init(jax.random.PRNGKey(0)), args.dcnet_params
+            )
+        else:
+            dp = dcnet.init(jax.random.PRNGKey(args.seed))
+        first = dataclasses.replace(cfg.decode, method="greedy",
+                                    beam_size=1)
+        stacked = make_stacked_decode_fn(
+            dcnet, model, first_stage=first, second_stage=cfg.decode,
+            start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
+        )
+        params = (dp, params)
+
+        def decode_fn(pair, feats, ids, lens, _step):
+            return stacked(pair[0], pair[1], feats, ids, lens)
+
+    server = CaptionServer(cfg, params, model, vocab, ladder=ladder,
+                           decode_fn=decode_fn)
     if args.warmup:
         server.warmup()
     serve_stream(server, sys.stdin, sys.stdout,

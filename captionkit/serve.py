@@ -36,7 +36,11 @@ class CaptionServer:
     """Holds the compiled decode program + vocab; stateless per request."""
 
     def __init__(self, cfg: CaptionKitConfig, params: Any, model, vocab,
-                 *, ladder: Sequence[int] = ()):
+                 *, ladder: Sequence[int] = (), decode_fn=None):
+        """``decode_fn`` overrides the default single-model beam program
+        with any (params, feats [b,R,F], ids [b,T], lens [b], step) ->
+        tokens callable of the same contract — the hook that serves the
+        stacked DCNet->EditNet pipeline (params is then the pair)."""
         import jax
 
         from captionkit.decode.driver import make_decode_fn
@@ -59,10 +63,11 @@ class CaptionServer:
         self.max_existing_len = cfg.data.max_existing_len
         self.num_regions = cfg.model.num_regions
         self.feat_dim = cfg.model.feat_dim
-        self._decode_fn = make_decode_fn(
-            model, cfg.decode, start_id=vocab.start, end_id=vocab.end,
-            pad_id=vocab.pad,
-        )
+        self._decode_fn = decode_fn if decode_fn is not None else \
+            make_decode_fn(
+                model, cfg.decode, start_id=vocab.start, end_id=vocab.end,
+                pad_id=vocab.pad,
+            )
 
     def _rung(self, b: int) -> int:
         return next(s for s in self.ladder if s >= b)

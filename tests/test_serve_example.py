@@ -194,3 +194,17 @@ def test_serve_flush_ms_drains_partial_batch_without_eof():
     assert served == 1
     lines = [json.loads(x) for x in out.getvalue().strip().splitlines()]
     assert lines[-1]["id"] == 7 and isinstance(lines[-1]["caption"], str)
+
+
+def test_serve_stacked_pipeline():
+    """--stacked serves the DCNet->EditNet chain: same protocol, answers
+    for every request."""
+    cmd = [sys.executable, "-m", "captionkit.cli", "--platform", "cpu",
+           "serve", "--synthetic", "--batch", "4", "--stacked",
+           "--ladder", "1", *SMALL]
+    proc = subprocess.run(
+        cmd, input="\n".join(_requests()) + "\n",
+        capture_output=True, text=True, timeout=560, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    _check(proc.stdout)
