@@ -46,11 +46,21 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--max-len", type=int, default=22)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                    help="cpu = functional smoke off-chip (tiny scale "
+                         "only; the numbers are chip-only)")
+    ap.add_argument("--num-samples", dest="num_samples", type=int,
+                    default=1,
+                    help=">1 benches multi-sample SCST (leave-one-out "
+                         "baseline; no greedy leg)")
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.steps = 32, 3
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from captionkit.utils.cache import enable_compilation_cache
@@ -96,11 +106,13 @@ def main() -> int:
         "valid": jnp.asarray(np.ones((B,), bool)),
     }
 
+    n_s = args.num_samples
     rollout_fn = make_scst_rollout(
         model, start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
-        max_len=L,
+        max_len=L, num_samples=n_s,
     )
-    update_fn = make_scst_update(model, tcfg, start_id=vocab.start)
+    update_fn = make_scst_update(model, tcfg, start_id=vocab.start,
+                                 num_samples=n_s)
 
     def emit(name, seconds, n=1, extra=None):
         out = {"metric": f"SCST {name} (EditNet paper-scale, B={B}, L={L})",
@@ -116,17 +128,24 @@ def main() -> int:
     rolls = [rollout_fn(state.params, batch, jax.random.fold_in(key, i))
              for i in range(args.steps)]
     _ = jax.device_get(rolls[-1]["sample_tokens"][0, 0])  # one sync
-    emit("rollout (sample+greedy, device)", time.perf_counter() - t0,
+    emit("rollout (device)", time.perf_counter() - t0,
          args.steps)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        adv = rewarder.advantage(
-            roll_host["sample_tokens"], roll_host["greedy_tokens"], refs
-        )
+        if n_s == 1:
+            adv = rewarder.advantage(
+                roll_host["sample_tokens"], roll_host["greedy_tokens"],
+                refs,
+            )
+        else:
+            adv, _rw = rewarder.advantage_loo(
+                roll_host["sample_tokens"], refs
+            )
     emit("reward (host CIDEr-D advantage)", time.perf_counter() - t0,
          args.steps,
-         {"native_scorer": rewarder._native is not None})
+         {"native_scorer": rewarder._native is not None,
+          "num_samples": n_s})
 
     adv_dev = jnp.asarray(adv)
     state, m = update_fn(state, batch, roll["sample_tokens"],
