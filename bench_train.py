@@ -67,11 +67,17 @@ def main() -> int:
                          "default: the production ModelConfig default for "
                          "the chosen arch")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                    help="cpu = functional smoke off-chip (numbers are "
+                         "chip-only)")
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.steps, args.scan_k = 64, 8, 4
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from captionkit.utils.cache import enable_compilation_cache

@@ -143,3 +143,28 @@ def test_int8_composes_with_fused_cells():
     b = _decode(ModelConfig(arch="editnet", head_quant="int8",
                             cell_impl="xla", **dims))
     np.testing.assert_array_equal(a, b)
+
+
+def test_int8_composes_with_backptr_history():
+    """head_quant=int8 x beam_impl=backptr: the history layout never
+    touches the head, so captions must equal the register layout's."""
+    import jax
+
+    dims = dict(vocab_size=50, emb_dim=12, hidden_dim=16, att_dim=8,
+                feat_dim=10, num_regions=4, dropout=0.0,
+                compute_dtype="float32")
+    cfg = ModelConfig(arch="editnet", head_quant="int8", **dims)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(7))
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.standard_normal((5, 4, 10)).astype(np.float32))
+    existing = jnp.asarray(rng.integers(4, 48, (5, 7)).astype(np.int32))
+    lengths = jnp.asarray(rng.integers(2, 8, (5,)).astype(np.int32))
+    ctx = model.encode(params, feats, existing, lengths)
+    outs = {}
+    for impl in ("register", "backptr"):
+        outs[impl] = np.asarray(beam_search(
+            model, params, ctx, beam_size=3, start_id=1, end_id=2,
+            max_len=9, impl=impl,
+        ).tokens)
+    np.testing.assert_array_equal(outs["register"], outs["backptr"])
