@@ -146,6 +146,8 @@ def cmd_train_xe(args) -> int:
 
     cfg = _apply_overrides(get_named_config(args.config), args.set)
     train_ds, eval_ds = _load_dataset(args, cfg)
+    if args.num_shards > 1:  # multi-host: this process trains its shard
+        train_ds = train_ds.shard(args.num_shards, args.shard_index)
     mcfg, model = _build_model(cfg, len(train_ds.vocab))
     state = create_train_state(model.init, cfg.train)
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
@@ -190,6 +192,8 @@ def cmd_train_scst(args) -> int:
 
     cfg = _apply_overrides(get_named_config(args.config), args.set)
     train_ds, eval_ds = _load_dataset(args, cfg)
+    if args.num_shards > 1:  # multi-host: this process trains its shard
+        train_ds = train_ds.shard(args.num_shards, args.shard_index)
     mcfg, model = _build_model(cfg, len(train_ds.vocab))
     state = create_train_state(model.init, cfg.train)
     if args.params:
@@ -482,6 +486,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", help="results JSON path")
     sp.add_argument("--no-metrics", action="store_true")
 
+    def add_shards(sp):
+        sp.add_argument("--num-shards", dest="num_shards", type=int,
+                        default=1,
+                        help="per-host strided split of the TRAIN data "
+                             "(CaptionDataset.shard) for multi-host runs "
+                             "under jax.distributed; validation stays "
+                             "whole on every host")
+        sp.add_argument("--shard-index", dest="shard_index", type=int,
+                        default=0, help="this host's shard (0-based)")
+
     sp = sub.add_parser("train-xe", help="cross-entropy training")
     add_common(sp, with_params=False)
     sp.add_argument("--max-steps", type=int)
@@ -489,6 +503,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in "
                          "train.checkpoint_dir")
+    add_shards(sp)
 
     sp = sub.add_parser("train-scst", help="SCST fine-tuning")
     add_common(sp)
@@ -497,6 +512,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pipeline", action="store_true",
                     help="overlap host CIDEr-D reward with the next "
                          "rollout (one-step-stale policy)")
+    add_shards(sp)
 
     sp = sub.add_parser(
         "serve",

@@ -107,3 +107,15 @@ def test_cli_decode_sharded(capsys):
         assert out["captions"] == 6
         seen.append(out)
     assert len(seen) == 2
+
+
+def test_cli_train_xe_sharded(capsys):
+    """Multi-host train entry: each process trains its strided shard."""
+    rc = main(["train-xe", "--config", "xe_train", "--synthetic",
+               "--images", "8", "--max-steps", "1", "--no-val",
+               "--num-shards", "2", "--shard-index", "1",
+               "--set", "data.batch_size=8",
+               "--set", "train.donate_state=false", *TINY])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["epochs_run"] == 1
