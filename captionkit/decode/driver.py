@@ -68,6 +68,8 @@ def make_decode_fn(
                 start_id=start_id, end_id=end_id, pad_id=pad_id,
                 max_len=decode_cfg.max_decode_len,
                 temperature=decode_cfg.temperature,
+                top_k=decode_cfg.top_k,
+                top_p=decode_cfg.top_p,
             )
             return out.tokens
         out = greedy_decode(

@@ -183,6 +183,12 @@ class DecodeConfig:
     length_penalty: float = 0.0  # 0 = sum log-probs (reference-style)
     batch_size: int = 256  # images per device batch during split decode
     temperature: float = 1.0
+    # Sampling truncation (method="sample" only): top_k > 0 keeps each
+    # step's k highest-logit tokens; top_p < 1.0 keeps the smallest
+    # nucleus whose softmax mass reaches p. 0 / 1.0 = the reference's
+    # plain multinomial (SURVEY.md §4.4). They compose: top_k then top_p.
+    top_k: int = 0
+    top_p: float = 1.0
     seed: int = 0  # sampling seed (method="sample"); folded per batch
     # Host->device dtype for region features during split decode. bfloat16
     # halves the dominant H2D traffic (the model stores/computes context in

@@ -426,3 +426,90 @@ def test_beam_impls_equivalence_fuzz():
                 np.asarray(getattr(res["backptr"], field)),
                 err_msg=f"trial {trial} ({arch} K={K} L={L} lp={lp} "
                         f"seed={seed}): {field}")
+
+
+# ------------------------------------------------- top-k / nucleus sampling
+
+
+def _const_logit_model(logit_row):
+    """Stub ModelDef emitting the same fixed logits every step — makes the
+    sampled-token SUPPORT exactly checkable."""
+    import jax.numpy as jnp
+
+    from captionkit.models.base import ModelDef
+
+    row = jnp.asarray(logit_row, jnp.float32)
+
+    def encode(params, features, existing, existing_len):
+        return existing  # [B, T] — only the batch size matters
+
+    def init_state(params, ctx):
+        return jnp.zeros((ctx.shape[0], 1), jnp.float32)
+
+    def step(params, ctx, state, token, rng=None, train=False):
+        B = token.shape[0]
+        return state, jnp.broadcast_to(row, (B, row.shape[0]))
+
+    return ModelDef(name="stub", init=lambda rng: {}, encode=encode,
+                    init_state=init_state, step=step,
+                    beam_expand=lambda ctx, k: ctx)
+
+
+def test_sampling_truncation_support():
+    """top_k / top_p restrict the sampled-token support exactly; top_k=1
+    and a dominant-token nucleus are deterministic (== argmax)."""
+    import jax
+
+    from captionkit.decode import sample_decode
+
+    # softmax probs ~ [0.6, 0.2, 0.1, 0.06, 0.04] after normalization
+    logits = np.log(np.asarray([0.6, 0.2, 0.1, 0.06, 0.04]))
+    model = _const_logit_model(logits)
+    ctx = jnp.zeros((64, 3), jnp.int32)
+    kw = dict(start_id=0, end_id=-1, pad_id=0, max_len=6)
+
+    toks_k1 = np.asarray(sample_decode(
+        model, {}, ctx, jax.random.PRNGKey(0), top_k=1, **kw).tokens)
+    assert (toks_k1 == 0).all()  # argmax everywhere
+
+    toks_p = np.asarray(sample_decode(
+        model, {}, ctx, jax.random.PRNGKey(1), top_p=0.5, **kw).tokens)
+    assert (toks_p == 0).all()  # nucleus = {0} (0.6 >= 0.5, crossing kept)
+
+    toks_k3 = np.asarray(sample_decode(
+        model, {}, ctx, jax.random.PRNGKey(2), top_k=3, **kw).tokens)
+    assert set(np.unique(toks_k3)) <= {0, 1, 2}
+    assert len(set(np.unique(toks_k3))) > 1  # genuinely sampling
+
+    # nucleus 0.85: 0.6 + 0.2 = 0.8 < 0.85 -> token 2 crosses and is kept
+    toks_p85 = np.asarray(sample_decode(
+        model, {}, ctx, jax.random.PRNGKey(3), top_p=0.85, **kw).tokens)
+    assert set(np.unique(toks_p85)) <= {0, 1, 2}
+
+    # untruncated sampling still reaches the tail
+    toks_all = np.asarray(sample_decode(
+        model, {}, ctx, jax.random.PRNGKey(4), **kw).tokens)
+    assert set(np.unique(toks_all)) - {0, 1, 2} != set()
+
+
+def test_sampling_truncation_logprobs_renormalized():
+    """Returned log-probs are of the truncated, renormalized distribution
+    (REINFORCE-correct for what was actually sampled)."""
+    import jax
+
+    from captionkit.decode import sample_decode
+
+    logits = np.log(np.asarray([0.5, 0.3, 0.2]))
+    model = _const_logit_model(logits)
+    ctx = jnp.zeros((8, 3), jnp.int32)
+    roll = sample_decode(model, {}, ctx, jax.random.PRNGKey(0),
+                         start_id=0, end_id=-1, pad_id=0, max_len=4,
+                         top_k=2)
+    toks = np.asarray(roll.tokens)
+    lps = np.asarray(roll.logprobs)
+    # renormalized over {0, 1}: p = [0.625, 0.375]
+    want = {0: np.log(0.5 / 0.8), 1: np.log(0.3 / 0.8)}
+    for b in range(toks.shape[0]):
+        for t in range(toks.shape[1]):
+            np.testing.assert_allclose(lps[b, t], want[int(toks[b, t])],
+                                       atol=1e-5)

@@ -433,3 +433,25 @@ def test_multisample_scst_on_mesh():
         batch=batch, references=refs, rng=jax.random.PRNGKey(2),
     )
     assert np.isfinite(float(metrics["scst_loss"]))
+
+
+def test_decode_split_sampling_truncation_plumbing():
+    """DecodeConfig.top_k/top_p reach sample_decode through the driver:
+    method="sample" with top_k=1 is deterministic argmax, so it must
+    produce the exact greedy captions; untruncated sampling at a high
+    temperature must not (otherwise the knob isn't plumbed)."""
+    src, mcfg, model, tcfg, state = _setup(num_images=12)
+    ev = src.eval_view()
+    from captionkit.utils.config import DecodeConfig
+
+    base = dict(method="sample", max_decode_len=10, batch_size=8, seed=3)
+    greedy = DecodeConfig(method="greedy", max_decode_len=10, batch_size=8)
+    hyps_g, _ = decode_split(model, state.params, ev, greedy)
+    hyps_k1, _ = decode_split(
+        model, state.params, ev, DecodeConfig(top_k=1, **base))
+    assert hyps_k1 == hyps_g
+
+    hyps_free, _ = decode_split(
+        model, state.params, ev,
+        DecodeConfig(temperature=5.0, **base))
+    assert hyps_free != hyps_g  # plain multinomial at T=5 diverges
