@@ -99,6 +99,12 @@ def main() -> int:
                     default=None, help="override ModelConfig.head_quant "
                     "(int8-quantized fused head — serving knob; decode "
                     "output is approximate, so never the headline number)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed passes over the pre-staged split; the "
+                         "headline value is the MEDIAN and the JSON tail "
+                         "records every run + the total spread (round-4 "
+                         "band protocol: one number per run cannot "
+                         "distinguish a lucky draw from the true rate)")
     ap.add_argument("--profile", default="",
                     help="dump a jax.profiler trace of the timed region")
     ap.add_argument("--streaming", action="store_true",
@@ -179,14 +185,18 @@ def main() -> int:
 
     from captionkit.utils.profiling import trace
 
-    with trace(args.profile or None):
-        t0 = time.perf_counter()
-        outs = [decode(params, *fb) for fb in batches]
-        tokens = jax.device_get(outs)  # materialize every batch's tokens
-        wall = time.perf_counter() - t0
     n_caps = n_batches * B
-    cps = n_caps / wall
-    del tokens
+    runs: list[float] = []
+    with trace(args.profile or None):
+        for _ in range(max(1, args.runs)):
+            t0 = time.perf_counter()
+            outs = [decode(params, *fb) for fb in batches]
+            tokens = jax.device_get(outs)  # materialize all token batches
+            wall = time.perf_counter() - t0
+            runs.append(n_caps / wall)
+            del tokens
+    cps = float(np.median(runs))
+    spread_pct = (100.0 * (max(runs) - min(runs)) / cps) if cps else 0.0
 
     vs = 0.0
     if not args.no_baseline:
@@ -199,11 +209,14 @@ def main() -> int:
             f"batch={B}, {n_caps} synthetic Karpathy-test images, "
             f"forced full {args.max_len}-step decode [end disabled on both "
             f"sides: untrained weights would finish at step 1], "
-            f"1x TPU v5e chip)"
+            f"1x TPU v5e chip; median of {len(runs)} runs, "
+            f"total spread {spread_pct:.1f}%)"
         ),
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(vs, 2),
+        "runs": [round(r, 2) for r in runs],
+        "spread_pct": round(spread_pct, 2),
     }))
 
     if args.streaming:

@@ -54,10 +54,17 @@ _CLITIC_RE = re.compile(r"(n't|'ll|'re|'ve|'d|'s|'m)$")
 # survives into the metric n-grams. Deliberately conservative: entries
 # whose stem is also a common standalone English word that could simply
 # end a sentence ("no.", "in.", "fig.", "gen.", "rep.", "mar.", "col.",
-# "apt.") are omitted — CoreNLP disambiguates those from context, which
-# a dictionary cannot, and in the caption domain the standalone-word
-# reading ("a man holding a fig.") is far likelier than the
-# abbreviation one.
+# "apt.") are NOT listed here — those go through the contextual
+# heuristic below (_AMBIGUOUS_ABBREVS), which replicates the two
+# CoreNLP cues available without a sentence model: a following number
+# selects the abbreviation reading ("no. 5", "fig. 2", "apt. 3b"), and
+# a capitalized title followed by a capitalized name does too
+# ("Col. Mustard"); everything else takes the standalone-word reading
+# ("a man holding a fig." -> fig + sentence-final period), which
+# dominates in the caption domain. The residue — a mid-sentence
+# lowercase abbreviation followed by a lowercase word — is genuinely
+# undecidable without CoreNLP's sentence model (docs/PARITY.md
+# divergence 3).
 _ABBREVIATIONS = frozenset({
     # titles / honorifics
     "mr.", "mrs.", "ms.", "dr.", "prof.", "rev.", "hon.", "sr.", "jr.",
@@ -76,6 +83,30 @@ _ABBREVIATIONS = frozenset({
     # latin / misc
     "etc.", "vs.", "vol.", "approx.", "cf.", "al.", "seq.",
 })
+# Stems that are also common standalone English words: "X." is read as the
+# abbreviation only when context says so (see _is_abbrev_reading); the
+# default is the sentence-final standalone reading. "in." (inches) and
+# "no." (number) want a following digit; the rank/title subset also
+# accepts Capitalized-title + Capitalized-name.
+_AMBIGUOUS_ABBREVS = frozenset({
+    "no.", "in.", "fig.", "gen.", "rep.", "mar.", "col.", "apt.",
+})
+_TITLE_AMBIGUOUS = frozenset({"gen.", "rep.", "col.", "maj."})
+
+
+def _is_abbrev_reading(raw: str, nxt: str) -> bool:
+    """Contextual disambiguation for _AMBIGUOUS_ABBREVS tokens.
+
+    ``raw`` is the original-case token ("No.", "col."), ``nxt`` the
+    original-case following whitespace token ("" at end of text). Returns
+    True for the keep-the-period abbreviation reading.
+    """
+    if nxt[:1].isdigit():
+        return True  # "no. 5", "fig. 2", "apt. 3b", "col. 4"
+    low = raw.lower()
+    if low in _TITLE_AMBIGUOUS and raw[:1].isupper() and nxt[:1].isupper():
+        return True  # "Col. Mustard", "Gen. Lee", "Rep. Smith"
+    return False
 # Tokens kept whole: numbers/times with internal separators (1,000 / 3.5 /
 # 10:30) and letter-period acronyms (u.s., e.g.) — CoreNLP keeps both.
 _NUMBER_RE = re.compile(r"^\d(?:[\d.,:]*\d)?$")
@@ -145,8 +176,15 @@ def _split_token(tok: str) -> list[str]:
 
 
 def ptb_split(text: str) -> list[str]:
-    """Full PTB token stream (lowercased), before punctuation removal."""
-    t = " " + text.lower().strip() + " "
+    """Full PTB token stream (lowercased), before punctuation removal.
+
+    Case is preserved until AFTER the per-token context decisions —
+    CoreNLP with ``-lowerCase`` also tokenizes the original text and
+    lowercases the output, so capitalization cues (sentence starts,
+    "Col. Mustard") are available to its abbreviation handling and must
+    be available to ours.
+    """
+    t = " " + text.strip() + " "
     t = (
         t.replace("(", " -lrb- ").replace(")", " -rrb- ")
         .replace("{", " -lcb- ").replace("}", " -rcb- ")
@@ -156,9 +194,16 @@ def ptb_split(text: str) -> list[str]:
     t = re.sub(r'(?<=\s)"', " `` ", t)
     t = t.replace('"', " '' ")
     t = t.replace("--", " -- ")
+    raws = t.split()
     out: list[str] = []
-    for raw in t.split():
-        out.extend(_split_token(raw))
+    for i, raw in enumerate(raws):
+        low = raw.lower()
+        if low in _AMBIGUOUS_ABBREVS:
+            nxt = raws[i + 1] if i + 1 < len(raws) else ""
+            if _is_abbrev_reading(raw, nxt):
+                out.append(low)
+                continue
+        out.extend(_split_token(low))
     return out
 
 

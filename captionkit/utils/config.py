@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import warnings
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -84,6 +85,11 @@ class ModelConfig:
     # keeping the step's concat/gate-preactivation intermediates in VMEM.
     # Beam decode only (the pack is built by the prepare_topk hook);
     # soft-SCMA EditNet only; everything else falls back to "xla".
+    # On-chip A/B (round 3, bench_matrix.jsonl): LOSES to "xla"
+    # (-3.8% EditNet / -13% DCNet) — kept as a measured alternate.
+    # Compile-time note: "pallas" + DecodeConfig.beam_impl="backptr"
+    # timed out at 420s on chip (likely compile, unverified);
+    # CaptionKitConfig warns on that pair.
     cell_impl: str = "xla"
     # Serving-oriented head quantization: "int8" runs the beam decode's
     # fused top-k head on per-column-symmetric int8 weights with per-row
@@ -92,8 +98,14 @@ class ModelConfig:
     # APPROXIMATE: quantization error can flip near-tie beam choices, so
     # this is an explicit serving trade, never the default, and it only
     # affects the fused-top-k (beam) path — greedy/teacher-forcing logits
-    # and training stay float. [PENDING CHIP — interpret-exact, built
-    # during the round-3 tunnel outage.]
+    # and training stay float. Per-arch guidance (measured on chip, round
+    # 3, bench_matrix.jsonl): EditNet serving WINS (+1.9% over the band
+    # ceiling, 7,878 c/s) because the ~100us head saving is a large
+    # fraction of its 2.65ms step; DCNet LOSES 3.6% (13,254 vs 13,747)
+    # because the same saving is a smaller slice of a 2.2ms step and the
+    # per-batch quantize + in-kernel activation-quant overheads don't
+    # amortize at DCNet's higher step rate. __post_init__ emits a runtime
+    # hint when int8 is combined with arch="dcnet".
     head_quant: str = "none"
 
     def __post_init__(self) -> None:
@@ -116,6 +128,15 @@ class ModelConfig:
         if self.head_quant not in ("none", "int8"):
             raise ValueError(f"ModelConfig.head_quant must be 'none' or "
                              f"'int8', got {self.head_quant!r}")
+        if self.head_quant == "int8" and self.arch == "dcnet":
+            warnings.warn(
+                "head_quant='int8' with arch='dcnet' measured SLOWER on "
+                "chip (-3.6%, 13,254 vs 13,747 captions/s — the head "
+                "saving doesn't amortize at DCNet's step rate; "
+                "bench_matrix.jsonl). The int8 head is an EditNet serving "
+                "knob; consider head_quant='none' for DCNet.",
+                stacklevel=2,
+            )
 
     @property
     def pad_id(self) -> int:
@@ -199,6 +220,11 @@ class DecodeConfig:
     # while loop; "backptr" records per-step [B, K] tokens/parents and
     # reconstructs sequences once after the loop. Identical results
     # (oracle-tested); the default is the measured-faster one on v5e.
+    # On-chip A/B (round 3, bench_matrix.jsonl): backptr is a wash at
+    # max_len=22 (7,590 vs the 7,626-7,730 band). Compile-time note:
+    # combining beam_impl="backptr" with ModelConfig.cell_impl="pallas"
+    # timed out at 420s on chip (likely compile, unverified) —
+    # CaptionKitConfig warns on that pair.
     beam_impl: str = "register"
 
 
@@ -209,6 +235,24 @@ class CaptionKitConfig:
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     decode: DecodeConfig = field(default_factory=DecodeConfig)
+
+    def __post_init__(self) -> None:
+        # Cross-section pathological pair (round-3 on-chip measurement,
+        # bench_matrix.jsonl): backptr beam history + fused Pallas cell
+        # kernels timed out at 420s (likely compile, unverified). Both
+        # knobs individually lose/wash vs the defaults, so the
+        # combination cannot win; warn rather than let a user discover a
+        # silent multi-minute compile.
+        if (self.decode.beam_impl == "backptr"
+                and self.model.cell_impl == "pallas"):
+            warnings.warn(
+                "decode.beam_impl='backptr' + model.cell_impl='pallas' "
+                "timed out at 420s on chip (likely compile; "
+                "bench_matrix.jsonl) and cannot beat the defaults — both "
+                "knobs individually lose/wash. Use beam_impl='register' "
+                "and/or cell_impl='xla'.",
+                stacklevel=2,
+            )
 
     def replace(self, **kw: Any) -> "CaptionKitConfig":
         return dataclasses.replace(self, **kw)

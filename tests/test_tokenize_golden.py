@@ -11,8 +11,13 @@ list. Two deliberate faithfulness notes (see docs/PARITY.md):
 * Abbreviation handling: letter-period acronyms ("u.s.") kept whole, and
   the common CoreNLP abbreviation dictionary (titles, months, etc.) is
   encoded so "mr." keeps its period; entries whose stem is a common
-  standalone word ("no.", "in.") are deliberately omitted because only
-  CoreNLP's contextual lexer can disambiguate them.
+  standalone word ("no.", "in.") go through a contextual heuristic
+  (round 4): a following digit selects the abbreviation reading
+  ("no. 5"), a Capitalized-title + Capitalized-name pair does too
+  ("Col. Mustard"), everything else takes the standalone-word reading.
+  The residue (mid-sentence lowercase abbreviation before a lowercase
+  word) is genuinely undecidable without CoreNLP's sentence model —
+  docs/PARITY.md divergence 3.
 """
 
 import pytest
@@ -70,16 +75,31 @@ GOLDEN = [
     ("Mr., Mrs., and Ms. smile!", ["mr.", "mrs.", "and", "ms.", "smile"]),
     # the stem without a period is a plain word
     ("the dr walks", ["the", "dr", "walks"]),
-    # conservative by design: "no."/"in." stay context-ambiguous and are
-    # NOT in the dictionary (a caption ending "saying no." must not fuse)
+    # context-ambiguous stems ("no.", "in.", "fig.", ...): standalone
+    # reading by default (a caption ending "saying no." must not fuse)
     ("a man saying no.", ["a", "man", "saying", "no"]),
-    # likewise entries whose stem is a common standalone word were pruned
-    # from the dictionary (round-3 review): a sentence-final period after
-    # them splits off and drops like any other word's
     ("a man holding a fig.", ["a", "man", "holding", "a", "fig"]),
     ("a sales rep. waves", ["a", "sales", "rep", "waves"]),
     ("a gen. store on a corner.", ["a", "gen", "store", "on", "a",
                                    "corner"]),
+    # ...but a following digit selects the abbreviation reading (round 4
+    # contextual heuristic, VERDICT r3 item 8)
+    ("jersey no. 12 on a shirt", ["jersey", "no.", "12", "on", "a",
+                                  "shirt"]),
+    ("fig. 2 shows a dog", ["fig.", "2", "shows", "a", "dog"]),
+    ("a door marked apt. 3b", ["a", "door", "marked", "apt.", "3b"]),
+    ("a ruler marked in. 1 to 12", ["a", "ruler", "marked", "in.", "1",
+                                    "to", "12"]),
+    # ...and a Capitalized rank/title before a Capitalized name does too
+    ("Col. Mustard holds a candlestick.",
+     ["col.", "mustard", "holds", "a", "candlestick"]),
+    ("Gen. Lee rides a horse", ["gen.", "lee", "rides", "a", "horse"]),
+    # sentence-final "No." before a new Capitalized sentence: standalone
+    # ("no." is not a title, and "A" is not a digit)
+    ("He said no. A dog barked.", ["he", "said", "no", "a", "dog",
+                                   "barked"]),
+    # lowercase "col. mustard": no capitalization cue -> standalone
+    ("col. mustard on a plate", ["col", "mustard", "on", "a", "plate"]),
     # whitespace robustness
     ("  two   dogs  ", ["two", "dogs"]),
     ("", []),
@@ -108,6 +128,8 @@ FULL_STREAM = [
     # and the remaining dots peel as single periods (round-3 review)
     ("mr...", ["mr.", ".", "."]),
     ("etc....", ["etc.", "..."]),
+    # contextual abbreviation keeps its period in the pre-filter stream
+    ("no. 5.", ["no.", "5", "."]),
 ]
 
 
