@@ -13,6 +13,12 @@ variance swamps cross-day comparisons — docs/DESIGN.md):
 Usage:  python examples/bench_decode_matrix.py [--out FILE] [--quick]
 Each bench.py child gets its own timeout so one hung tunnel window can't
 eat the matrix; failures are recorded, not fatal.
+
+``--lsweep`` (round 4, VERDICT r3 weak #6) replaces the matrix with the
+register-vs-backptr max_len sweep (22/40/64): the backptr impl's claimed
+niche is long decodes — its per-step state is L-free while the register
+impl carries [B·K, L] token registers through every step — and the sweep
+measures where (whether) the crossover actually is.
 """
 
 from __future__ import annotations
@@ -47,6 +53,9 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true",
                     help="2048 images instead of 5000 per point")
     ap.add_argument("--timeout", type=int, default=1200)
+    ap.add_argument("--lsweep", action="store_true",
+                    help="register-vs-backptr beam-history max_len sweep "
+                         "(22/40/64) instead of the lever matrix")
     args = ap.parse_args()
 
     base = [sys.executable, os.path.join(REPO, "bench.py"),
@@ -54,7 +63,16 @@ def main() -> int:
     if args.quick:
         base += ["--images", "2048"]
 
-    for name, extra in MATRIX:
+    matrix = MATRIX
+    if args.lsweep:
+        matrix = [
+            (f"lsweep editnet {impl} L={L}",
+             ["--max-len", str(L), "--beam-impl", impl])
+            for L in (22, 40, 64)
+            for impl in ("register", "backptr")
+        ]
+
+    for name, extra in matrix:
         t0 = time.time()
         rec = {"name": name, "argv": extra}
         try:

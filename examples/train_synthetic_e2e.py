@@ -97,16 +97,26 @@ def main() -> int:
     if args.scst_eval_every:
         # VERDICT r1 #8: a CIDEr trajectory across SCST, not just
         # before/after. Chunked fine-tuning with an eval between chunks.
+        # Curve points carry cumulative TRAINING wall-clock (eval time
+        # excluded) so runs with different per-step cost — n=1 vs n=4
+        # multi-sample — compare at matched wall-clock, not step count.
+        import time as _time
+
         done = 0
+        train_wall = 0.0
         while done < args.scst_steps:
             k = min(args.scst_eval_every, args.scst_steps - done)
+            t0 = _time.perf_counter()
             state, _ = run_scst_training(
                 model, state, cfg, src.dataset, None, max_steps=k,
             )
+            train_wall += _time.perf_counter() - t0
             done += k
             m = evaluate_split(model, state.params, eval_ds, cfg.decode)
-            scst_curve.append({"step": done, "cider": round(m["CIDEr"], 3)})
-            print(f"SCST step {done}: greedy CIDEr {m['CIDEr']:.3f}")
+            scst_curve.append({"step": done, "cider": round(m["CIDEr"], 3),
+                               "train_wall_s": round(train_wall, 1)})
+            print(f"SCST step {done}: greedy CIDEr {m['CIDEr']:.3f} "
+                  f"(train wall {train_wall:.1f}s)")
         after_scst = m
     else:
         state, scst_report = run_scst_training(
