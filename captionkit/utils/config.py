@@ -221,7 +221,11 @@ class DecodeConfig:
     # reconstructs sequences once after the loop. Identical results
     # (oracle-tested); the default is the measured-faster one on v5e.
     # On-chip A/B (round 3, bench_matrix.jsonl): backptr is a wash at
-    # max_len=22 (7,590 vs the 7,626-7,730 band). Compile-time note:
+    # max_len=22 (7,590 vs the 7,626-7,730 band). Round-4 L-sweep
+    # (22/40/64, medians of 3): backptr never crosses over — -0.6% /
+    # +0.2% / -1.7% vs register — so "register" is right at every
+    # measured length and "backptr" is an exactness-tested alternate
+    # with no measured niche. Compile-time note:
     # combining beam_impl="backptr" with ModelConfig.cell_impl="pallas"
     # timed out at 420s on chip (likely compile, unverified) —
     # CaptionKitConfig warns on that pair.
