@@ -174,6 +174,10 @@ class TrainConfig:
     # rollout); n>1 = multi-sample SCST (n samples per image, each scored
     # against its siblings' leave-one-out mean reward — lower-variance,
     # and the greedy rollout disappears from the step).
+    # Measured guidance (round-4 on-chip A/B, 600-image protocol,
+    # docs/DESIGN.md session 8): n=4 showed NO CIDEr-per-wall-clock
+    # advantage over n=1 (0.531 vs 0.569 at matched wall) — keep the
+    # default 1 unless your reward/baseline regime is known to need LOO.
     scst_num_samples: int = 1
     grad_clip: float = 5.0  # max-abs clip, reference-style (SURVEY.md §3.3)
     epochs: int = 30
