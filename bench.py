@@ -99,6 +99,14 @@ def main() -> int:
                     default=None, help="override ModelConfig.head_quant "
                     "(int8-quantized fused head — serving knob; decode "
                     "output is approximate, so never the headline number)")
+    ap.add_argument("--method", choices=["beam", "greedy", "stacked"],
+                    default="beam",
+                    help="decode program to bench: beam (headline), "
+                         "greedy, or the stacked DCNet->EditNet pipeline "
+                         "(one jitted program, both stages at --beam). "
+                         "vs_baseline is only defined for beam (the CPU "
+                         "denominator is a beam decode); other methods "
+                         "report 0.0")
     ap.add_argument("--runs", type=int, default=3,
                     help="timed passes over the pre-staged split; the "
                          "headline value is the MEDIAN and the JSON tail "
@@ -164,14 +172,48 @@ def main() -> int:
     # convention.
     from captionkit.utils.tpuopts import decode_compiler_options
 
-    @functools.partial(jax.jit, compiler_options=decode_compiler_options())
-    def decode(params, feats, existing, existing_len):
-        ctx = model.encode(params, feats, existing, existing_len)
-        return beam_search(
-            model, params, ctx, beam_size=args.beam,
-            start_id=mcfg.vocab_size - 2, end_id=-1,
-            max_len=args.max_len, impl=args.beam_impl,
-        ).tokens
+    start_id = mcfg.vocab_size - 2
+    if args.method == "beam":
+
+        @functools.partial(
+            jax.jit, compiler_options=decode_compiler_options())
+        def decode(params, feats, existing, existing_len):
+            ctx = model.encode(params, feats, existing, existing_len)
+            return beam_search(
+                model, params, ctx, beam_size=args.beam,
+                start_id=start_id, end_id=-1,
+                max_len=args.max_len, impl=args.beam_impl,
+            ).tokens
+
+    elif args.method == "greedy":
+        from captionkit.decode.greedy import greedy_decode
+
+        @functools.partial(
+            jax.jit, compiler_options=decode_compiler_options())
+        def decode(params, feats, existing, existing_len):
+            ctx = model.encode(params, feats, existing, existing_len)
+            return greedy_decode(
+                model, params, ctx, start_id=start_id, end_id=-1,
+                max_len=args.max_len,
+            ).tokens
+
+    else:  # stacked DCNet -> EditNet, one jitted program
+        from captionkit.decode.stacked import make_stacked_decode_fn
+        from captionkit.utils.config import DecodeConfig
+
+        dc_cfg = ModelConfig(arch="dcnet", dropout=0.0, **PAPER)
+        dcnet = get_model(dc_cfg)
+        dc_params = dcnet.init(jax.random.PRNGKey(1))
+        stage = DecodeConfig(method="beam", beam_size=args.beam,
+                             max_decode_len=args.max_len)
+        stacked_fn = make_stacked_decode_fn(
+            dcnet, model, first_stage=stage, second_stage=stage,
+            start_id=start_id, end_id=-1,
+        )
+
+        def decode(params, feats, existing, existing_len):
+            return stacked_fn(dc_params, params, feats, existing,
+                              existing_len)
 
     # Pre-stage every batch on device (input pipelines prefetch/overlap in
     # production; the metric is chip decode throughput, not PCIe/tunnel
@@ -199,13 +241,18 @@ def main() -> int:
     spread_pct = (100.0 * (max(runs) - min(runs)) / cps) if cps else 0.0
 
     vs = 0.0
-    if not args.no_baseline:
+    if not args.no_baseline and args.method == "beam":
         denom = _cpu_denominator(args.beam, args.max_len, args.smoke)
         vs = cps / denom if denom > 0 else 0.0
 
+    method_desc = {
+        "beam": f"beam={args.beam}",
+        "greedy": "greedy",
+        "stacked": f"stacked dcnet->editnet, beam={args.beam} both stages",
+    }[args.method]
     print(json.dumps({
         "metric": (
-            f"captions/sec/chip ({args.arch} paper-scale, beam={args.beam}, "
+            f"captions/sec/chip ({args.arch} paper-scale, {method_desc}, "
             f"batch={B}, {n_caps} synthetic Karpathy-test images, "
             f"forced full {args.max_len}-step decode [end disabled on both "
             f"sides: untrained weights would finish at step 1], "
