@@ -115,7 +115,7 @@ def cmd_decode(args) -> int:
         # JSONs key by real image ids and concatenate across hosts.
         eval_ds = eval_ds.shard(args.num_shards, args.shard_index)
     mcfg, model = _build_model(cfg, len(eval_ds.vocab))
-    params = _load_params(args, model, mcfg)
+    model, params = _load_model_and_params(args, model, mcfg)
     if eval_ds.references is not None and not args.no_metrics:
         metrics = evaluate_split(
             model, params, eval_ds, cfg.decode, results_path=args.out
@@ -136,6 +136,25 @@ def _load_params(args, model, mcfg):
         template = model.init(jax.random.PRNGKey(0))
         return load_params_npz(template, args.params)
     return model.init(jax.random.PRNGKey(args.seed))
+
+
+def _load_model_and_params(args, model, mcfg):
+    """Resolve --params, which accepts a comma-separated list of
+    checkpoints of the SAME config: more than one path wraps the model in
+    the decode-time ensemble combinator (captionkit/models/ensemble.py) —
+    per-step member distributions averaged under --ensemble-mode. One
+    path (or none) is the plain single-model load."""
+    paths = [p for p in (getattr(args, "params", None) or "").split(",")
+             if p]
+    if len(paths) > 1:
+        from captionkit.models import ensemble_model, load_ensemble_params
+
+        mode = getattr(args, "ensemble_mode", "logprob")
+        return (
+            ensemble_model(model, len(paths), mode=mode),
+            load_ensemble_params(model, paths),
+        )
+    return model, _load_params(args, model, mcfg)
 
 
 def cmd_train_xe(args) -> int:
@@ -465,10 +484,20 @@ def build_parser() -> argparse.ArgumentParser:
                              "(needed without --features to group "
                              "references by image)")
         if with_params:
-            sp.add_argument("--params", help="params .npz to load")
+            sp.add_argument(
+                "--params",
+                help="params .npz to load; comma-separate several "
+                     "checkpoints of the SAME config to decode their "
+                     "ensemble (see --ensemble-mode)",
+            )
 
     sp = sub.add_parser("decode", help="decode + score a split")
     add_common(sp)
+    sp.add_argument("--ensemble-mode", dest="ensemble_mode",
+                    choices=("logprob", "prob"), default="logprob",
+                    help="member averaging when --params lists several "
+                         "checkpoints: mean log-prob (geometric mixture, "
+                         "default) or mean prob (arithmetic mixture)")
     sp.add_argument("--out", help="results JSON path")
     sp.add_argument("--no-metrics", action="store_true")
     sp.add_argument("--num-shards", dest="num_shards", type=int, default=1,
@@ -521,7 +550,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--config", default="editnet_beam5")
     sp.add_argument("--set", action="append", default=[], metavar="K=V")
-    sp.add_argument("--params", help="params .npz (else random init)")
+    sp.add_argument("--params",
+                    help="params .npz (else random init); comma-separate "
+                         "several checkpoints to serve their ensemble")
+    sp.add_argument("--ensemble-mode", dest="ensemble_mode",
+                    choices=("logprob", "prob"), default="logprob",
+                    help="member averaging for a multi-checkpoint "
+                         "--params list")
     sp.add_argument("--wordmap", help="WORDMAP json (reference format)")
     sp.add_argument("--synthetic", action="store_true",
                     help="toy vocab + random weights (demo/tests)")
@@ -646,7 +681,7 @@ def cmd_serve(args) -> int:
     cfg = cfg.override({"model.vocab_size": len(vocab)})
     mcfg = cfg.model
     model = get_model(mcfg)
-    params = _load_params(args, model, mcfg)
+    model, params = _load_model_and_params(args, model, mcfg)
     ladder = ([int(s) for s in args.ladder.split(",")]
               if args.ladder else ())
     decode_fn = None

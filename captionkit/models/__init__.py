@@ -11,4 +11,9 @@ from captionkit.models.base import (  # noqa: F401
     teacher_forcing_logits,
 )
 from captionkit.models.registry import get_model  # noqa: F401
+from captionkit.models.ensemble import (  # noqa: F401
+    ensemble_model,
+    load_ensemble_params,
+    stack_params,
+)
 from captionkit.models import dcnet, editnet  # noqa: F401

@@ -154,3 +154,62 @@ def test_cli_train_xe_sharded(capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["epochs_run"] == 1
+
+
+def test_cli_decode_ensemble(tmp_path, capsys):
+    """--params a,b wraps the model in the decode-time ensemble: two
+    checkpoints of the same tiny config decode and score a split, and a
+    duplicated single checkpoint reproduces the single-model captions."""
+    import dataclasses
+
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.train.checkpoint import save_params_npz
+    from captionkit.utils.config import get_named_config
+
+    cfg = get_named_config("editnet_greedy")
+    for kv in TINY[1::2]:
+        k, v = kv.split("=")
+        sec, field = k.split(".")
+        if sec == "model":
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, **{field: int(v)})
+            )
+    src = SyntheticCaptionSource(
+        num_images=8, captions_per_image=cfg.data.captions_per_image,
+        num_regions=4, feat_dim=16, max_len=cfg.data.max_len,
+        seed=cfg.data.seed,
+    )
+    mcfg = dataclasses.replace(cfg.model, vocab_size=len(src.dataset.vocab))
+    model = get_model(mcfg)
+    pa, pb = (str(tmp_path / "a.npz"), str(tmp_path / "b.npz"))
+    save_params_npz(model.init(jax.random.PRNGKey(1)), pa)
+    save_params_npz(model.init(jax.random.PRNGKey(2)), pb)
+
+    out_ens = str(tmp_path / "ens.json")
+    rc = main(["decode", "--config", "editnet_greedy", "--synthetic",
+               "--images", "8", "--set", "decode.batch_size=8",
+               "--params", f"{pa},{pb}", "--ensemble-mode", "prob",
+               "--out", out_ens, *TINY])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert "CIDEr" in rep and rep["captions"] == 8
+
+    # Duplicate-member ensemble == the single checkpoint, end to end.
+    out_dup = str(tmp_path / "dup.json")
+    out_one = str(tmp_path / "one.json")
+    assert main(["decode", "--config", "editnet_greedy", "--synthetic",
+                 "--images", "8", "--set", "decode.batch_size=8",
+                 "--params", f"{pa},{pa}", "--out", out_dup, *TINY]) == 0
+    capsys.readouterr()
+    assert main(["decode", "--config", "editnet_greedy", "--synthetic",
+                 "--images", "8", "--set", "decode.batch_size=8",
+                 "--params", pa, "--out", out_one, *TINY]) == 0
+    capsys.readouterr()
+    with open(out_dup) as f:
+        dup = {r["image_id"]: r["caption"] for r in json.load(f)}
+    with open(out_one) as f:
+        one = {r["image_id"]: r["caption"] for r in json.load(f)}
+    assert dup == one

@@ -1,0 +1,212 @@
+"""Ensemble decode tests: the ModelDef combinator in
+captionkit/models/ensemble.py — singleton/duplicate identities, mode math
+vs a NumPy hand-check, the slow Python beam oracle over a real 2-member
+ensemble, and checkpoint loading."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captionkit.decode import beam_search, greedy_decode
+from captionkit.models import (
+    ensemble_model,
+    get_model,
+    load_ensemble_params,
+    stack_params,
+)
+from captionkit.models.ensemble import _combine
+from captionkit.utils.config import ModelConfig
+
+from test_decode import _slow_beam
+
+CFG = dict(
+    vocab_size=30, emb_dim=12, hidden_dim=16, att_dim=8,
+    feat_dim=10, num_regions=4, dropout=0.0, compute_dtype="float32",
+)
+START, END, PAD = 2, 3, 0
+
+
+def _setup(arch="editnet", batch=4, t_in=6, seed=0, n_members=2,
+           mode="logprob", **over):
+    cfg = ModelConfig(arch=arch, **{**CFG, **over})
+    member = get_model(cfg)
+    members = [
+        member.init(jax.random.PRNGKey(seed + i)) for i in range(n_members)
+    ]
+    ens = ensemble_model(member, n_members, mode=mode)
+    params = stack_params(members)
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(
+        rng.standard_normal((batch, cfg.num_regions, cfg.feat_dim)),
+        jnp.float32,
+    )
+    existing = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (batch, t_in)), jnp.int32
+    )
+    existing_len = jnp.asarray(
+        rng.integers(2, t_in + 1, (batch,)), jnp.int32
+    )
+    ctx = ens.encode(params, feats, existing, existing_len)
+    return cfg, member, members, ens, params, (feats, existing,
+                                               existing_len), ctx
+
+
+def test_stack_params_rejects_mismatched_members():
+    cfg_a = ModelConfig(arch="editnet", **CFG)
+    cfg_b = ModelConfig(arch="editnet", **{**CFG, "hidden_dim": 24})
+    pa = get_model(cfg_a).init(jax.random.PRNGKey(0))
+    pb = get_model(cfg_b).init(jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="shape|structure"):
+        stack_params([pa, pb])
+    with pytest.raises(ValueError, match="at least one"):
+        stack_params([])
+
+
+@pytest.mark.parametrize("mode", ["logprob", "prob"])
+def test_combine_matches_numpy(mode):
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((5, 3, 7)).astype(np.float32)
+    got = np.asarray(_combine(jnp.asarray(logits), mode))
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)  # member softmax [B, M, V]
+    if mode == "logprob":
+        want = np.log(p).mean(axis=1)
+    else:
+        want = np.log(p.mean(axis=1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # The two modes genuinely differ on asymmetric members.
+    other = np.asarray(
+        _combine(jnp.asarray(logits), "prob" if mode == "logprob"
+                 else "logprob")
+    )
+    assert not np.allclose(got, other)
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+@pytest.mark.parametrize("mode", ["logprob", "prob"])
+def test_duplicate_members_equal_single_model(arch, mode):
+    """An ensemble of the SAME checkpoint twice must decode exactly like
+    the single model (both modes: averaging identical distributions is
+    the identity up to renormalization)."""
+    cfg, member, members, ens, params, inputs, ctx = _setup(
+        arch=arch, n_members=2, mode=mode, seed=1
+    )
+    dup = stack_params([members[0], members[0]])
+    ctx_dup = ens.encode(dup, *inputs)
+    ctx_one = member.encode(members[0], *inputs)
+
+    g_e = greedy_decode(ens, dup, ctx_dup, start_id=START, end_id=END,
+                        pad_id=PAD, max_len=10)
+    g_1 = greedy_decode(member, members[0], ctx_one, start_id=START,
+                        end_id=END, pad_id=PAD, max_len=10)
+    np.testing.assert_array_equal(np.asarray(g_e.tokens),
+                                  np.asarray(g_1.tokens))
+
+    b_e = beam_search(ens, dup, ctx_dup, beam_size=3, start_id=START,
+                      end_id=END, pad_id=PAD, max_len=8)
+    b_1 = beam_search(member, members[0], ctx_one, beam_size=3,
+                      start_id=START, end_id=END, pad_id=PAD, max_len=8)
+    np.testing.assert_array_equal(np.asarray(b_e.tokens),
+                                  np.asarray(b_1.tokens))
+    np.testing.assert_allclose(np.asarray(b_e.scores),
+                               np.asarray(b_1.scores), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["logprob", "prob"])
+def test_ensemble_step_is_member_average(mode):
+    """The wrapped step's output equals hand-averaging the members' own
+    per-step distributions on the same state slices."""
+    cfg, member, members, ens, params, inputs, ctx = _setup(
+        n_members=2, mode=mode, seed=2
+    )
+    state = ens.init_state(params, ctx)
+    tok = jnp.full((4,), START, jnp.int32)
+    _, got = ens.step(params, ctx, state, tok)
+
+    member_logits = []
+    for m, p in enumerate(members):
+        ctx_m = jax.tree.map(lambda x: x[:, m], ctx)
+        st_m = jax.tree.map(lambda x: x[:, m], state)
+        _, lg = member.step(p, ctx_m, st_m, tok)
+        member_logits.append(np.asarray(lg, np.float64))
+    logp = [lg - np.log(np.exp(lg - lg.max(-1, keepdims=True))
+                        .sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
+            for lg in member_logits]
+    logp = np.stack(logp, axis=1)
+    if mode == "logprob":
+        want = logp.mean(axis=1)
+    else:
+        want = np.log(np.exp(logp).mean(axis=1))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["dcnet", "editnet"])
+def test_ensemble_beam_matches_slow_oracle(arch):
+    """The batched beam over a real 2-member ensemble matches the slow
+    per-image Python oracle running the same ensemble step."""
+    cfg, member, members, ens, params, inputs, ctx = _setup(
+        arch=arch, batch=3, n_members=2, seed=4
+    )
+    K, L = 3, 8
+    res = beam_search(ens, params, ctx, beam_size=K, start_id=START,
+                      end_id=END, pad_id=PAD, max_len=L)
+    for b in range(3):
+        ctx_1 = jax.tree.map(lambda x: x[b: b + 1], ctx)
+        seq_ref, score_ref = _slow_beam(ens, params, ctx_1, K, L)
+        got = np.asarray(res.tokens[b])[: len(seq_ref)].tolist()
+        assert got == seq_ref, f"image {b}: {got} != {seq_ref}"
+        np.testing.assert_allclose(float(res.scores[b]), score_ref,
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_ensemble_step_attn_means_members():
+    cfg, member, members, ens, params, inputs, ctx = _setup(
+        n_members=2, seed=5
+    )
+    assert ens.step_attn is not None
+    state = ens.init_state(params, ctx)
+    tok = jnp.full((4,), START, jnp.int32)
+    new_state, logits, attn = ens.step_attn(params, ctx, state, tok)
+    # Hand-average the members' attention maps.
+    for key in attn:
+        rows = []
+        for m, p in enumerate(members):
+            ctx_m = jax.tree.map(lambda x: x[:, m], ctx)
+            st_m = jax.tree.map(lambda x: x[:, m], state)
+            _, _, a = member.step_attn(p, ctx_m, st_m, tok)
+            rows.append(np.asarray(a[key], np.float64))
+        np.testing.assert_allclose(
+            np.asarray(attn[key]), np.mean(rows, axis=0),
+            rtol=1e-5, atol=1e-6,
+        )
+    # And its next-state/logits agree with the plain step.
+    st2, lg2 = ens.step(params, ctx, state, tok)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(lg2),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(new_state), jax.tree.leaves(st2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_load_ensemble_params_roundtrip(tmp_path):
+    from captionkit.train.checkpoint import save_params_npz
+
+    cfg, member, members, ens, params, inputs, ctx = _setup(n_members=2)
+    paths = []
+    for i, p in enumerate(members):
+        path = str(tmp_path / f"m{i}.npz")
+        save_params_npz(p, path)
+        paths.append(path)
+    loaded = load_ensemble_params(member, paths)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ensemble_rejects_bad_args():
+    cfg = ModelConfig(arch="editnet", **CFG)
+    member = get_model(cfg)
+    with pytest.raises(ValueError, match="mode"):
+        ensemble_model(member, 2, mode="votes")
+    with pytest.raises(ValueError, match="num_members"):
+        ensemble_model(member, 0)
