@@ -157,6 +157,27 @@ def _load_model_and_params(args, model, mcfg):
     return model, _load_params(args, model, mcfg)
 
 
+def _export_trained_params(args, state) -> None:
+    """--export-params / --export-ema: write decode-ready .npz weights
+    from the final TrainState (the Orbax checkpoint keeps the full state;
+    these are the light interchange artifacts `decode --params` takes)."""
+    if getattr(args, "export_params", None):
+        from captionkit.train.checkpoint import save_params_npz
+
+        save_params_npz(state.params, args.export_params)
+    if getattr(args, "export_ema", None):
+        from captionkit.train.checkpoint import save_params_npz
+        from captionkit.train.state import ema_params
+
+        avg = ema_params(state)
+        if avg is None:
+            raise SystemExit(
+                "--export-ema needs EMA tracking enabled: set "
+                "--set train.ema_decay=0.999 (or similar) on this run"
+            )
+        save_params_npz(avg, args.export_ema)
+
+
 def cmd_train_xe(args) -> int:
     from captionkit.parallel import make_mesh
     from captionkit.train import create_train_state
@@ -191,6 +212,7 @@ def cmd_train_xe(args) -> int:
             mesh=mesh, ckpt=ckpt, max_steps=args.max_steps,
             metrics_logger=mlogger, preemption=guard,
         )
+    _export_trained_params(args, state)
     best = report.best_metric if report.best_metric > float("-inf") else None
     print(json.dumps({
         "epochs_run": report.epochs_run,
@@ -240,6 +262,7 @@ def cmd_train_scst(args) -> int:
             metrics_logger=mlogger, pipeline=args.pipeline,
             preemption=guard,
         )
+    _export_trained_params(args, state)
     best = report.best_metric if report.best_metric > float("-inf") else None
     print(json.dumps({
         "epochs_run": report.epochs_run,
@@ -515,6 +538,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", help="results JSON path")
     sp.add_argument("--no-metrics", action="store_true")
 
+    def add_export(sp):
+        sp.add_argument("--export-params", dest="export_params",
+                        metavar="OUT.npz",
+                        help="write the final raw weights as a "
+                             "decode-ready .npz")
+        sp.add_argument("--export-ema", dest="export_ema",
+                        metavar="OUT.npz",
+                        help="write the final EMA (Polyak-averaged) "
+                             "weights (needs train.ema_decay > 0)")
+
     def add_shards(sp):
         sp.add_argument("--num-shards", dest="num_shards", type=int,
                         default=1,
@@ -533,6 +566,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resume from the latest checkpoint in "
                          "train.checkpoint_dir")
     add_shards(sp)
+    add_export(sp)
 
     sp = sub.add_parser("train-scst", help="SCST fine-tuning")
     add_common(sp)
@@ -542,6 +576,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="overlap host CIDEr-D reward with the next "
                          "rollout (one-step-stale policy)")
     add_shards(sp)
+    add_export(sp)
 
     sp = sub.add_parser(
         "serve",

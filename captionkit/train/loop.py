@@ -99,12 +99,19 @@ def _validate(model, state, val_dataset, cfg, decode_fn=None) -> float:
     # take minutes per call, and val CIDEr is the only signal used here
     # (best-ckpt / early-stop / lr-decay). ADVICE r1.
     from captionkit.metrics.eval import CaptionEvaluator
+    from captionkit.train.state import ema_params
 
+    # With train.ema_decay > 0 the shippable weights are the Polyak
+    # average, so that is what validation (and therefore best-checkpoint
+    # selection / early stopping / lr decay) scores.
+    avg = ema_params(state)
     metrics = evaluate_split(
-        model, state.params, val_dataset, cfg.decode, decode_fn=decode_fn,
+        model, state.params if avg is None else avg, val_dataset,
+        cfg.decode, decode_fn=decode_fn,
         evaluator=CaptionEvaluator(use_external=False),
     )
-    log.info("val metrics: %s", {k: round(v, 4) for k, v in metrics.items()})
+    log.info("val metrics%s: %s", "" if avg is None else " (EMA weights)",
+             {k: round(v, 4) for k, v in metrics.items()})
     return metrics.get("CIDEr", 0.0)
 
 

@@ -7,7 +7,7 @@ flax.struct pytree that shards/replicates cleanly and checkpoints via Orbax.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +29,72 @@ class TrainState:
         return jax.random.fold_in(self.rng, self.step)
 
 
+class EmaState(NamedTuple):
+    """Polyak-averaged parameters, carried inside the optimizer state so
+    TrainState's structure (and therefore every Orbax checkpoint and
+    preemption path) is unchanged when EMA is off, and EMA weights
+    checkpoint/resume for free when it is on."""
+
+    ema: Any
+
+
+def ema_weights(decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the POST-update parameters.
+
+    Placed LAST in the optimizer chain: the `updates` it receives are the
+    final deltas, so `params + updates` is exactly the parameter vector
+    the step will publish, and the transform itself passes updates
+    through untouched (it never alters the optimization trajectory —
+    unlike optax.ema, which smooths the updates themselves). ema_0 is a
+    copy of the initial params (the captioning-community convention;
+    no bias correction)."""
+
+    def init(params):
+        # A real COPY, not jnp.asarray: asarray is a no-op on committed
+        # arrays, so EmaState.ema would ALIAS the param buffers at step 0
+        # — and the first donate_state=True train dispatch then donates
+        # the same buffer under two arguments, which the TPU backend
+        # rejects with an opaque INVALID_ARGUMENT (chip-bisected, round-4
+        # session 9; CPU tolerates the aliasing, which is why tests alone
+        # never caught it).
+        return EmaState(ema=jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                         params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_weights needs params (use with chain "
+                             "and pass params to update)")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema, new_params,
+        )
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(state: TrainState) -> Any | None:
+    """The EMA parameter pytree carried in state.opt_state, or None when
+    training runs without EMA (TrainConfig.ema_decay == 0)."""
+    for element in jax.tree_util.tree_leaves(
+        state.opt_state, is_leaf=lambda x: isinstance(x, EmaState)
+    ):
+        if isinstance(element, EmaState):
+            return element.ema
+    return None
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam with reference-style element-value gradient clipping.
 
     The reference's clip_gradient clamps each gradient element to
     [-grad_clip, grad_clip] (tutorial-family, SURVEY.md §3.3 ⟦cite⟧) —
     optax.clip is the exact equivalent (not clip_by_global_norm).
+
+    With cfg.ema_decay > 0, an ema_weights() tail additionally tracks
+    Polyak-averaged parameters (validation decodes and `--export-ema`
+    use them; the training trajectory itself is untouched).
     """
     txs = []
     if cfg.grad_clip > 0:
@@ -47,6 +107,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         txs.append(optax.sgd(cfg.learning_rate))
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if getattr(cfg, "ema_decay", 0.0) > 0.0:
+        if not (0.0 < cfg.ema_decay < 1.0):
+            raise ValueError(
+                f"train.ema_decay must be in (0, 1), got {cfg.ema_decay}"
+            )
+        txs.append(ema_weights(cfg.ema_decay))
     return optax.chain(*txs)
 
 

@@ -186,6 +186,12 @@ class TrainConfig:
     lr_decay_patience: int = 3  # epochs without val-CIDEr improvement
     early_stop_patience: int = 10
     label_smoothing: float = 0.0
+    # Polyak/EMA parameter averaging: > 0 tracks ema = d*ema + (1-d)*params
+    # after every optimizer step (inside opt_state — train.state.EmaState),
+    # WITHOUT touching the training trajectory. Validation decodes then
+    # score the EMA weights, and train-xe/train-scst --export-ema writes
+    # them as a decode-ready .npz. 0 = off (the reference recipe).
+    ema_decay: float = 0.0
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
     log_every: int = 100

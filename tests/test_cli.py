@@ -213,3 +213,40 @@ def test_cli_decode_ensemble(tmp_path, capsys):
     with open(out_one) as f:
         one = {r["image_id"]: r["caption"] for r in json.load(f)}
     assert dup == one
+
+
+def test_cli_train_xe_ema_export_and_decode(tmp_path, capsys):
+    """train.ema_decay tracks Polyak weights; --export-ema writes a
+    decode-ready npz that `decode --params` consumes."""
+    ema_path = str(tmp_path / "ema.npz")
+    raw_path = str(tmp_path / "raw.npz")
+    rc = main(["train-xe", "--config", "xe_train", "--synthetic",
+               "--images", "8", "--max-steps", "2", "--no-val",
+               "--set", "data.batch_size=8",
+               "--set", "train.ema_decay=0.9",
+               "--set", f'train.checkpoint_dir="{tmp_path / "ck"}"',
+               "--set", "train.donate_state=false",
+               "--export-ema", ema_path, "--export-params", raw_path,
+               *TINY])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["decode", "--config", "editnet_greedy", "--synthetic",
+               "--images", "8", "--set", "decode.batch_size=8",
+               "--params", ema_path, *TINY])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "CIDEr" in out
+    # EMA and raw weights genuinely differ after training steps.
+    import numpy as np
+    a, b = np.load(ema_path), np.load(raw_path)
+    assert any(np.abs(a[k] - b[k]).max() > 0 for k in a.files)
+
+
+def test_cli_export_ema_without_tracking_errors(tmp_path):
+    with pytest.raises(SystemExit, match="ema_decay"):
+        main(["train-xe", "--config", "xe_train", "--synthetic",
+              "--images", "8", "--max-steps", "1", "--no-val",
+              "--set", "data.batch_size=8",
+              "--set", f'train.checkpoint_dir="{tmp_path / "ck"}"',
+              "--set", "train.donate_state=false",
+              "--export-ema", str(tmp_path / "e.npz"), *TINY])

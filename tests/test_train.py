@@ -474,3 +474,98 @@ def test_scst_preemption_exits_cleanly(tmp_path):
     )
     assert report.preempted is True
     mgr.close()
+
+
+# ---------------------------------------------------------------------------
+# EMA (Polyak) parameter averaging — train.state.ema_weights / ema_params.
+# ---------------------------------------------------------------------------
+
+def test_ema_matches_hand_recurrence():
+    """The opt_state-carried EMA equals the hand recurrence over the raw
+    parameter trajectory, and never perturbs that trajectory."""
+    from captionkit.train.state import ema_params
+
+    decay = 0.8
+    src, model, tcfg, state, batch = _setup("editnet")
+    tcfg_ema = TrainConfig(learning_rate=1e-2, grad_clip=5.0, seed=0,
+                           donate_state=False, ema_decay=decay)
+    state_ema = create_train_state(model.init, tcfg_ema)
+    step_plain = make_xe_train_step(model, tcfg)
+    step_ema = make_xe_train_step(model, tcfg_ema)
+
+    assert ema_params(state) is None  # decay=0 run carries no EMA
+    hand = jax.tree.map(np.asarray, state_ema.params)
+    for _ in range(4):
+        state, _ = step_plain(state, batch)
+        state_ema, _ = step_ema(state_ema, batch)
+        hand = jax.tree.map(
+            lambda e, p: decay * e + (1 - decay) * np.asarray(p),
+            hand, state_ema.params,
+        )
+    # Same training trajectory with and without the EMA tail.
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state_ema.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    avg = ema_params(state_ema)
+    assert avg is not None
+    for a, b in zip(jax.tree.leaves(avg), jax.tree.leaves(hand)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-6)
+    # And the EMA is genuinely not the raw params after 4 steps.
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(avg),
+                             jax.tree.leaves(state_ema.params))]
+    assert max(diffs) > 1e-6
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    from captionkit.train.state import ema_params
+
+    src, model, _, _, batch = _setup("editnet")
+    tcfg = TrainConfig(learning_rate=1e-2, seed=0, donate_state=False,
+                       ema_decay=0.9, checkpoint_dir=str(tmp_path))
+    state = create_train_state(model.init, tcfg)
+    step = make_xe_train_step(model, tcfg)
+    for _ in range(2):
+        state, _ = step(state, batch)
+    ckpt = CheckpointManager(str(tmp_path), keep=1)
+    ckpt.save(state)
+    ckpt.close()
+    template = create_train_state(model.init, tcfg)
+    ckpt2 = CheckpointManager(str(tmp_path), keep=1)
+    restored = ckpt2.restore(template)
+    ckpt2.close()
+    for a, b in zip(jax.tree.leaves(ema_params(state)),
+                    jax.tree.leaves(ema_params(restored))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_decay_validated():
+    from captionkit.train.state import make_optimizer
+
+    with pytest.raises(ValueError, match="ema_decay"):
+        make_optimizer(TrainConfig(ema_decay=1.5))
+
+
+def test_ema_init_does_not_alias_params():
+    """EmaState.ema must be a COPY of the initial params: jnp.asarray
+    aliases committed buffers, and the first donate_state=True dispatch
+    then donates the same buffer under two arguments — the TPU backend
+    rejects that with INVALID_ARGUMENT (chip-bisected, session 9). CPU
+    tolerates the aliasing, so this pins the invariant by buffer
+    pointer."""
+    from captionkit.train.state import ema_params
+
+    src, model, _, _, batch = _setup("editnet")
+    tcfg = TrainConfig(learning_rate=1e-2, seed=0, donate_state=True,
+                       ema_decay=0.9)
+    state = create_train_state(model.init, tcfg)
+    for p, e in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(ema_params(state))):
+        assert (p.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()), \
+            "EMA leaf aliases a param buffer at init"
+    # And the donating step itself runs (the CPU backend would accept the
+    # aliased form too — the pointer check above is the real guard).
+    step = make_xe_train_step(model, tcfg)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
