@@ -107,6 +107,12 @@ def main() -> int:
                          "vs_baseline is only defined for beam (the CPU "
                          "denominator is a beam decode); other methods "
                          "report 0.0")
+    ap.add_argument("--ensemble", type=int, default=1,
+                    help="decode an M-member checkpoint ensemble "
+                         "(models/ensemble.py; M random same-config "
+                         "members — the cost model, not the quality). "
+                         "beam/greedy only; vs_baseline reports 0 (the "
+                         "CPU denominator is a single-model decode)")
     ap.add_argument("--runs", type=int, default=3,
                     help="timed passes over the pre-staged split; the "
                          "headline value is the MEDIAN and the JSON tail "
@@ -149,6 +155,19 @@ def main() -> int:
     mcfg = ModelConfig(arch=args.arch, dropout=0.0, **over, **PAPER)
     model = get_model(mcfg)
     params = model.init(jax.random.PRNGKey(0))
+    if args.ensemble > 1:
+        if args.method == "stacked":
+            print("bench.py: --ensemble composes with beam/greedy only",
+                  file=sys.stderr)
+            return 2
+        from captionkit.models import ensemble_model, stack_params
+
+        member = model
+        model = ensemble_model(member, args.ensemble)
+        params = stack_params([
+            member.init(jax.random.PRNGKey(i))
+            for i in range(args.ensemble)
+        ])
 
     rng = np.random.default_rng(0)
     B = args.batch
@@ -241,7 +260,7 @@ def main() -> int:
     spread_pct = (100.0 * (max(runs) - min(runs)) / cps) if cps else 0.0
 
     vs = 0.0
-    if not args.no_baseline and args.method == "beam":
+    if not args.no_baseline and args.method == "beam" and args.ensemble == 1:
         denom = _cpu_denominator(args.beam, args.max_len, args.smoke)
         vs = cps / denom if denom > 0 else 0.0
 
@@ -250,6 +269,8 @@ def main() -> int:
         "greedy": "greedy",
         "stacked": f"stacked dcnet->editnet, beam={args.beam} both stages",
     }[args.method]
+    if args.ensemble > 1:
+        method_desc += f", {args.ensemble}-member ensemble"
     print(json.dumps({
         "metric": (
             f"captions/sec/chip ({args.arch} paper-scale, {method_desc}, "
