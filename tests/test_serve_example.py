@@ -208,3 +208,51 @@ def test_serve_stacked_pipeline():
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     _check(proc.stdout)
+
+
+def test_serve_ensemble_params(tmp_path):
+    """`serve --params a.npz,b.npz` serves the 2-member ensemble: the
+    resident compiled program answers requests, and a duplicated single
+    checkpoint answers identically to the single-model server."""
+    import jax
+
+    from captionkit.cli import _apply_overrides
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.train.checkpoint import save_params_npz
+    from captionkit.utils.config import get_named_config
+
+    cfg = _apply_overrides(get_named_config("editnet_beam5"), SMALL[1::2])
+    src = SyntheticCaptionSource(
+        num_images=2, captions_per_image=1,
+        num_regions=cfg.model.num_regions, feat_dim=cfg.model.feat_dim,
+        max_len=cfg.data.max_existing_len, seed=0,
+    )
+    import dataclasses
+
+    mcfg = dataclasses.replace(cfg.model, vocab_size=len(src.vocab))
+    model = get_model(mcfg)
+    pa = str(tmp_path / "a.npz")
+    pb = str(tmp_path / "b.npz")
+    save_params_npz(model.init(jax.random.PRNGKey(3)), pa)
+    save_params_npz(model.init(jax.random.PRNGKey(4)), pb)
+
+    def run(params_arg):
+        cmd = [sys.executable, "-m", "captionkit.cli", "--platform", "cpu",
+               "serve", "--synthetic", "--batch", "4",
+               "--params", params_arg, *SMALL]
+        proc = subprocess.run(
+            cmd, input="\n".join(_requests()) + "\n",
+            capture_output=True, text=True, timeout=560, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        _check(proc.stdout)
+        return {r["id"]: r["caption"]
+                for r in map(json.loads, proc.stdout.strip().splitlines()[1:])
+                if "caption" in r}
+
+    ens = run(f"{pa},{pb}")
+    dup = run(f"{pa},{pa}")
+    one = run(pa)
+    assert dup == one  # duplicate-member ensemble == the single model
+    assert sorted(ens) == sorted(one)
