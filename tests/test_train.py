@@ -569,3 +569,49 @@ def test_ema_init_does_not_alias_params():
     step = make_xe_train_step(model, tcfg)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_xe_loop_validates_with_ema_weights(monkeypatch):
+    """With train.ema_decay > 0 the validation decode must score the EMA
+    weights, not the raw params (spy on evaluate_split's params)."""
+    import dataclasses
+
+    import captionkit.train.loop as loop_mod
+    from captionkit.train.loop import run_xe_training
+    from captionkit.train.state import ema_params
+    from captionkit.utils.config import CaptionKitConfig, DataConfig, \
+        DecodeConfig
+
+    src, model, tcfg, state, batch = _setup("editnet", seed=11)
+    tcfg = dataclasses.replace(tcfg, ema_decay=0.9, epochs=1, log_every=1,
+                               eval_every_epochs=1)
+    cfg = CaptionKitConfig(
+        model=ModelConfig(arch="editnet",
+                          **{**MCFG, "vocab_size": len(src.vocab)}),
+        data=DataConfig(batch_size=16),
+        train=tcfg,
+        decode=DecodeConfig(method="greedy", beam_size=1,
+                            max_decode_len=10, batch_size=16),
+    )
+    seen = []
+    real = loop_mod.evaluate_split
+
+    def spy(model_, params_, *a, **kw):
+        seen.append(params_)
+        return real(model_, params_, *a, **kw)
+
+    monkeypatch.setattr(loop_mod, "evaluate_split", spy)
+    st = create_train_state(model.init, tcfg)
+    st, report = run_xe_training(model, st, cfg, src.dataset,
+                                 src.eval_view(), max_steps=2)
+    assert seen, "validation never ran"
+    want = ema_params(st)
+    got_leaves = jax.tree.leaves(seen[-1])
+    for a, b in zip(got_leaves, jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # And NOT the raw params (they differ after training steps).
+    raw_leaves = jax.tree.leaves(st.params)
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(got_leaves, raw_leaves)
+    )
