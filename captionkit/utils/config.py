@@ -191,6 +191,12 @@ class TrainConfig:
     # WITHOUT touching the training trajectory. Validation decodes then
     # score the EMA weights, and train-xe/train-scst --export-ema writes
     # them as a decode-ready .npz. 0 = off (the reference recipe).
+    # Measured guidance (on-chip A/B, examples/ensemble_ema_quality.py,
+    # docs/DESIGN.md session 9): the averaging window 1/(1-d) must be
+    # SMALL against the remaining improvement horizon — d=0.98 on a
+    # 200-step run lost 0.6 CIDEr to lag, d=0.9 was neutral. EMA's win
+    # condition is long noisy training (big-data XE tails, SCST), not
+    # short clean runs; default stays 0.
     ema_decay: float = 0.0
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
