@@ -131,6 +131,15 @@ def cmd_decode(args) -> int:
 
 def _load_params(args, model, mcfg):
     if getattr(args, "params", None):
+        if "," in args.params:
+            # A comma list reaches here only from commands that take a
+            # SINGLE checkpoint (train-scst init weights, stacked stage
+            # params, ...): ensembling is a decode/serve-time feature.
+            raise SystemExit(
+                "this command takes one --params checkpoint; "
+                "multi-checkpoint ensembles (--params a.npz,b.npz) are "
+                "supported by `decode` and `serve` only"
+            )
         from captionkit.train.checkpoint import load_params_npz
 
         template = model.init(jax.random.PRNGKey(0))
@@ -238,6 +247,13 @@ def cmd_train_scst(args) -> int:
     mcfg, model = _build_model(cfg, len(train_ds.vocab))
     state = create_train_state(model.init, cfg.train)
     if args.params:
+        if "," in args.params:
+            raise SystemExit(
+                "train-scst takes one --params checkpoint (the XE "
+                "weights to fine-tune); multi-checkpoint ensembles "
+                "(--params a.npz,b.npz) are supported by `decode` and "
+                "`serve` only"
+            )
         from captionkit.train.checkpoint import load_params_npz
 
         state = TrainState(

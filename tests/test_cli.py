@@ -250,3 +250,12 @@ def test_cli_export_ema_without_tracking_errors(tmp_path):
               "--set", f'train.checkpoint_dir="{tmp_path / "ck"}"',
               "--set", "train.donate_state=false",
               "--export-ema", str(tmp_path / "e.npz"), *TINY])
+
+
+def test_cli_train_scst_rejects_ensemble_params(tmp_path):
+    with pytest.raises(SystemExit, match="decode.*serve|serve.*decode"):
+        main(["train-scst", "--config", "scst_train", "--synthetic",
+              "--images", "8", "--max-steps", "1", "--no-val",
+              "--set", "data.batch_size=8",
+              "--set", f'train.checkpoint_dir="{tmp_path / "ck"}"',
+              "--params", "a.npz,b.npz", *TINY])
