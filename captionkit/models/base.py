@@ -31,6 +31,24 @@ StepFn = Callable[..., tuple[Any, jax.Array]]
 
 
 @dataclass(frozen=True)
+class HeadInfo:
+    """Static description of a model's vocab head, for combinators that
+    build DERIVED heads from member parameters (models/ensemble.py builds
+    a [M*H, V] concatenated mean-logits head for logprob ensembles).
+
+    ``get_wb(params) -> (w [H, V], b [V])`` is a pure accessor — applied
+    to ``stack_params`` trees it returns member-stacked ([M, H, V],
+    [M, V]) weights because it is plain attribute access. ``impl`` /
+    ``quant`` / ``compute_dtype`` mirror the model's configured head
+    dispatch (ModelConfig.head_impl / head_quant / compute dtype)."""
+
+    get_wb: Callable[[Any], tuple[jax.Array, jax.Array]]
+    impl: str = "pallas"  # "pallas" | "xla"
+    quant: str = "none"  # "none" | "int8"
+    compute_dtype: Any = jnp.float32
+
+
+@dataclass(frozen=True)
 class ModelDef:
     """A caption editor: encode once, then step a token at a time."""
 
@@ -70,6 +88,15 @@ class ModelDef:
     # the embedding-table and fc-head gradients alone are 39MB each);
     # hoisting turns those into one matmul/scatter over B*T rows.
     forward_seq: Optional[Callable[..., jax.Array]] = None
+    # Optional pre-head decode step: (params, ctx, state, token) ->
+    # (state, hidden [B, H]) — the same recurrent math as `step` stopped
+    # BEFORE the vocab head (inference-only: no rng/dropout). Combinators
+    # that substitute their own head (the ensemble's concatenated
+    # mean-logits head) run this instead of `step` so the member [B, V]
+    # logits never materialize.
+    step_hidden: Optional[Callable[..., tuple[Any, jax.Array]]] = None
+    # Optional vocab-head description (HeadInfo) for those combinators.
+    head_info: Optional[HeadInfo] = None
     # Optional introspection step: (params, ctx, state, token) ->
     # (state, logits, attn dict) where attn carries the step's attention
     # distributions (e.g. EditNet's visual alpha over regions and SCMA

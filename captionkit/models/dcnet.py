@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from captionkit.models.base import ModelDef, dropout
+from captionkit.models.base import HeadInfo, ModelDef, dropout
 from captionkit.nn.attention import (
     AdditiveAttentionParams,
     init_additive_attention,
@@ -452,5 +452,16 @@ def make_model(cfg: ModelConfig) -> ModelDef:
             lambda params, ctx, state, token: step_attn(
                 params, cfg, ctx, state, token
             )
+        ),
+        step_hidden=(
+            lambda params, ctx, state, token: _step_hidden(
+                params, cfg, ctx, state, token, None, False
+            )
+        ),
+        head_info=HeadInfo(
+            get_wb=lambda p: (p.fc_w, p.fc_b),
+            impl=cfg.head_impl,
+            quant=cfg.head_quant,
+            compute_dtype=_cdt(cfg),
         ),
     )

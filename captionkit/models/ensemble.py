@@ -21,21 +21,35 @@ search's flat-index state reorder (`decode/beam.py reorder_model_state`)
 and its `B = leaves(ctx)[0].shape[0]` batch discovery work untouched.
 
 Combination modes (both renormalized downstream by the decode loops'
-log_softmax):
-* ``"logprob"`` (default) — arithmetic mean of member log-probs, i.e.
-  the renormalized geometric mean of member distributions. Sharper than
-  prob-averaging; the usual choice for beam search.
+log_softmax / softmax / argmax — all invariant to a per-row constant):
+* ``"logprob"`` (default) — the renormalized geometric mean of member
+  distributions. Computed as the arithmetic **mean of member logits**:
+  mean_m log_softmax(z_m) = mean_m(z_m) − mean_m(lse_m), and the second
+  term is a per-row constant the downstream renorm absorbs, so the M
+  per-member log_softmax passes are redundant work (round-4 verdict).
+  Sharper than prob-averaging; the usual choice for beam search.
 * ``"prob"`` — log of the arithmetic mean of member probabilities
   (computed stably as logsumexp(logp, member_axis) − log M), the
-  classic mixture ensemble.
+  classic mixture ensemble. This mode genuinely needs every member's
+  full renormalized distribution.
 
-The fused vocab-head fast path (`step_topk`) is intentionally absent:
-averaging needs every member's FULL distribution before the top-k, so
-the per-member [B, V] logits must materialize — beam search's
-measured XLA fallback branch handles that (decode/beam.py
-select_candidates, else-branch). Cost model: an M-ensemble pays ~M× the
-step FLOPs plus the fused-head win it gives up; measured numbers live
-in docs/DESIGN.md ("Ensemble decode").
+Fused-head fast path (``mode="logprob"`` only): because the combined
+score is the mean of member logits, and
+
+    mean_m(h_m @ W_m + b_m) = [h_0 ‖ … ‖ h_{M-1}] @ [[W_0/M], …] + b̄,
+
+the M member heads collapse into ONE [B·K, M·H] × [M·H, V] matmul over
+member-concatenated hiddens and pre-concatenated weights — which the
+existing fused vocab-head kernel (ops/head.py: matmul + online LSE +
+per-row top-k, logits never in HBM) runs unchanged with H′ = M·H. The
+ensemble therefore exposes `step_topk`/`prepare_topk` in logprob mode:
+members run `step_hidden` (pre-head recurrent math, vmapped over the
+member axis) and the combined head replaces M materialized [B·K, V]
+logits round-trips. Beam results are exactly the fallback path's: the
+fused branch accumulates vals − lse = log_softmax(mean logits), which
+equals log_softmax(mean member log-probs) identically. ``prob`` mode
+keeps the XLA fallback (full distributions are genuinely required
+before any top-k there).
 """
 
 from __future__ import annotations
@@ -44,6 +58,7 @@ from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from captionkit.models.base import ModelDef
 
@@ -85,18 +100,52 @@ def _swap01(tree: Any) -> Any:
 def _combine(logits_bm: jax.Array, mode: str) -> jax.Array:
     """[B, M, V] member logits -> [B, V] ensemble scores (fp32).
 
-    Returned scores are log-probabilities up to a constant; the decode
-    loops all re-apply log_softmax, which renormalizes either mode
-    exactly.
+    Returned scores are log-probabilities up to a per-row constant; the
+    decode loops all renormalize (log_softmax before scoring, softmax /
+    categorical / argmax for sampling and greedy), which makes either
+    mode exact. For "logprob" the mean of raw member logits differs from
+    the mean of member log-probs by exactly mean_m(lse_m) per row, so
+    the M log_softmax passes are skipped (identical post-renorm —
+    pinned by tests/test_ensemble.py::test_combine_logprob_mean_logits).
     """
-    logp = jax.nn.log_softmax(logits_bm.astype(jnp.float32), axis=-1)
     if mode == "logprob":
-        return jnp.mean(logp, axis=1)
+        return jnp.mean(logits_bm.astype(jnp.float32), axis=1)
     # prob: log(mean_m exp(logp)) = logsumexp over members - log M
+    logp = jax.nn.log_softmax(logits_bm.astype(jnp.float32), axis=-1)
     m = logits_bm.shape[1]
     return jax.scipy.special.logsumexp(logp, axis=1) - jnp.log(
         jnp.float32(m)
     )
+
+
+@struct.dataclass
+class _EnsembleTopkCtx:
+    """Ensemble ctx after prepare_topk: the member ctx (leaves
+    [B·K, M, ...]) plus the decode-loop-invariant COMBINED head — member
+    fc weights concatenated on the feature axis and pre-scaled by 1/M
+    ([M·H, Vp], padded/quantized to the kernel tile grid), mean bias.
+    Lives only between beam search's prepare_topk call and the loop
+    body's step_topk calls, so no other surface sees the wrapper."""
+
+    member: Any
+    head_w: Optional[jax.Array] = None  # [M*H, Vp] compute dtype or int8
+    head_b: Optional[jax.Array] = None  # [Vp] fp32 (padding = -1e30)
+    head_scale: Optional[jax.Array] = None  # [Vp] fp32 (int8 only)
+
+
+def _member_ctx(ctx: Any) -> Any:
+    return ctx.member if isinstance(ctx, _EnsembleTopkCtx) else ctx
+
+
+def _combined_head_wb(member: ModelDef, params: Any
+                      ) -> tuple[jax.Array, jax.Array]:
+    """(w_cat [M*H, V] fp32, b_mean [V] fp32) implementing the mean of
+    member logits as one matmul: rows are member-major (member m owns
+    rows m·H..(m+1)·H−1), matching h_m.reshape(B, M*H)'s layout."""
+    w_m, b_m = member.head_info.get_wb(params)  # [M, H, V], [M, V]
+    M, H, V = w_m.shape
+    w_cat = (w_m.astype(jnp.float32) / jnp.float32(M)).reshape(M * H, V)
+    return w_cat, jnp.mean(b_m.astype(jnp.float32), axis=0)
 
 
 def ensemble_model(
@@ -134,7 +183,7 @@ def ensemble_model(
 
     def init_state(params, ctx):
         state_m = jax.vmap(member.init_state, in_axes=(0, 1), out_axes=0)(
-            params, ctx
+            params, _member_ctx(ctx)
         )  # leaves [M, B, ...]
         return _swap01(state_m)
 
@@ -144,7 +193,8 @@ def ensemble_model(
 
         state_m, logits_m = jax.vmap(
             one, in_axes=(0, 1, 1), out_axes=(1, 1)
-        )(params, ctx, state)  # state leaves [B, M, ...]; logits [B, M, V]
+        )(params, _member_ctx(ctx), state)
+        # state leaves [B, M, ...]; logits [B, M, V]
         return state_m, _combine(logits_m, mode)
 
     beam_expand = None
@@ -159,6 +209,101 @@ def ensemble_model(
                 )(ctx)
             )
 
+    # Fused combined head (module docstring): logprob mode only — the
+    # mean of member logits is one [B·K, M·H] x [M·H, V] matmul, which
+    # the member's configured head machinery (Pallas fused top-k / XLA /
+    # int8 twins) runs unchanged with H' = M·H. prob mode genuinely
+    # needs every member's full renormalized distribution before any
+    # top-k, so it keeps beam search's XLA fallback branch.
+    fused_ok = (
+        mode == "logprob"
+        and member.step_topk is not None  # member config enables it
+        and member.step_hidden is not None
+        and member.head_info is not None
+    )
+    prepare_topk = step_topk = None
+    if fused_ok:
+        hi = member.head_info
+
+        def prepare_topk(params, ctx, k):
+            w_cat, b_mean = _combined_head_wb(member, params)
+            n_rows = jax.tree.leaves(ctx)[0].shape[0]  # B*K
+            if hi.quant == "int8":
+                from captionkit.ops.head import quantize_head
+
+                w_q, scale, b_p = quantize_head(
+                    w_cat, b_mean, n_rows=n_rows, k=k
+                )
+                return _EnsembleTopkCtx(
+                    member=ctx, head_w=w_q, head_b=b_p, head_scale=scale
+                )
+            if hi.impl == "xla":
+                # No tile padding needed; hoist the concat/scale only.
+                return _EnsembleTopkCtx(
+                    member=ctx,
+                    head_w=w_cat.astype(hi.compute_dtype),
+                    head_b=b_mean,
+                )
+            from captionkit.ops.head import prepad_head
+
+            w_p, b_p = prepad_head(
+                w_cat, b_mean, n_rows=n_rows, k=k,
+                compute_dtype=hi.compute_dtype,
+            )
+            return _EnsembleTopkCtx(member=ctx, head_w=w_p, head_b=b_p)
+
+        def step_topk(params, ctx, state, token, k):
+            mctx = _member_ctx(ctx)
+
+            def one(p, c, s):
+                return member.step_hidden(p, c, s, token)
+
+            state_m, h_m = jax.vmap(
+                one, in_axes=(0, 1, 1), out_axes=(1, 1)
+            )(params, mctx, state)  # h_m [B, M, H]
+            B = h_m.shape[0]
+            h_cat = h_m.reshape(B, M * h_m.shape[2])  # member-major
+            if isinstance(ctx, _EnsembleTopkCtx) and ctx.head_w is not None:
+                w, b, scale = ctx.head_w, ctx.head_b, ctx.head_scale
+            else:  # step_topk without prepare: build the head inline
+                w, b = _combined_head_wb(member, params)
+                scale = None
+                if hi.quant == "int8":
+                    from captionkit.ops.head import quantize_head
+
+                    w, scale, b = quantize_head(w, b, n_rows=B, k=k)
+            if hi.quant == "int8":
+                from captionkit.ops import pallas_supported
+                from captionkit.ops.head import (
+                    fused_head_topk_int8,
+                    xla_head_topk_int8,
+                )
+
+                if hi.impl == "xla":
+                    vals, idx, lse = xla_head_topk_int8(
+                        h_cat, w, scale, b, k=k
+                    )
+                else:
+                    vals, idx, lse = fused_head_topk_int8(
+                        h_cat, w, scale, b, k=k,
+                        interpret=not pallas_supported(),
+                    )
+            elif hi.impl == "xla":
+                from captionkit.ops.head import xla_head_topk
+
+                vals, idx, lse = xla_head_topk(
+                    h_cat, w, b, k=k, compute_dtype=hi.compute_dtype
+                )
+            else:
+                from captionkit.ops import pallas_supported
+                from captionkit.ops.head import fused_head_topk
+
+                vals, idx, lse = fused_head_topk(
+                    h_cat, w, b, k=k, compute_dtype=hi.compute_dtype,
+                    interpret=not pallas_supported(),
+                )
+            return state_m, vals, idx, lse
+
     step_attn = None
     if member.step_attn is not None:
 
@@ -168,7 +313,7 @@ def ensemble_model(
 
             state_m, logits_m, attn_m = jax.vmap(
                 one, in_axes=(0, 1, 1), out_axes=(1, 1, 1)
-            )(params, ctx, state)
+            )(params, _member_ctx(ctx), state)
             # Introspection reports the ensemble's mean attention — the
             # distribution family the averaged next-token scores actually
             # attended with.
@@ -182,12 +327,8 @@ def ensemble_model(
         init_state=init_state,
         step=step,
         beam_expand=beam_expand,
-        # step_topk/prepare_topk deliberately None: the fused head's
-        # per-row top-k happens before member averaging could (module
-        # docstring); beam search's XLA fallback materializes the member
-        # logits the average needs.
-        step_topk=None,
-        prepare_topk=None,
+        step_topk=step_topk,
+        prepare_topk=prepare_topk,
         forward_seq=None,
         step_attn=step_attn,
     )

@@ -127,6 +127,94 @@ def test_serve_ladder_pads_to_smallest_rung():
         CaptionServer(cfg, params, model, src.vocab, ladder=(16,))
 
 
+def test_serve_stream_pipelined_overlap_matches_synchronous():
+    """Round-5 serving overlap: full batches are DISPATCHED (submit_batch)
+    while the loop keeps reading, with up to max_in_flight outstanding;
+    answers must stay request-ordered and byte-identical to the
+    synchronous run_batch path, and the in-flight budget must hold."""
+    import io
+
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.serve import CaptionServer, serve_stream
+    from captionkit.utils.config import CaptionKitConfig
+
+    cfg = CaptionKitConfig().override({
+        "model.emb_dim": 16, "model.hidden_dim": 24, "model.att_dim": 8,
+        "model.feat_dim": 12, "model.num_regions": 4,
+        "decode.method": "beam", "decode.beam_size": 3,
+        "decode.max_decode_len": 8, "decode.batch_size": 4,
+        "data.max_existing_len": 12,
+    })
+    src = SyntheticCaptionSource(num_images=2, captions_per_image=1,
+                                 num_regions=4, feat_dim=12, max_len=12,
+                                 seed=0)
+    cfg = cfg.override({"model.vocab_size": len(src.vocab)})
+    model = get_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    server = CaptionServer(cfg, params, model, src.vocab, ladder=(1, 2))
+
+    # Spy on submit/collect to check the overlap discipline.
+    events = []
+    real_submit, real_collect = server.submit_batch, server.collect
+
+    def submit(feats, caps):
+        events.append(("submit", len(caps)))
+        return real_submit(feats, caps)
+
+    def collect(handle):
+        events.append(("collect", handle[1]))
+        return real_collect(handle)
+
+    server.submit_batch, server.collect = submit, collect
+
+    rng = np.random.default_rng(2)
+    reqs, feats_all, caps_all = [], [], []
+    for i in range(11):  # 2 full batches of 4 + a 3-request tail
+        f = rng.standard_normal((4, 12)).round(3)
+        feats_all.append(np.asarray(f, np.float32))
+        caps_all.append("a dog runs")
+        reqs.append(json.dumps({"id": i, "features_inline": f.tolist(),
+                                "caption": caps_all[-1]}))
+    out = io.StringIO()
+    served = serve_stream(
+        server, io.StringIO("\n".join(reqs) + "\n"), out
+    )
+    assert served == 11
+    lines = [json.loads(x) for x in out.getvalue().splitlines()[1:]]
+    assert [r["id"] for r in lines] == list(range(11))
+
+    # Both full batches were submitted before anything was collected
+    # (the second batch assembled while the first was in flight).
+    assert [e for e in events if e[0] == "submit"] == [
+        ("submit", 4), ("submit", 4), ("submit", 3)]
+    first_collect = events.index(("collect", 4))
+    assert events.index(("submit", 4), 1) < first_collect
+
+    # In-flight budget: never more submits than collects + max_in_flight.
+    depth = mx = 0
+    for kind, _ in events:
+        depth += 1 if kind == "submit" else -1
+        mx = max(mx, depth)
+    assert mx <= 2
+
+    # Answers identical to the synchronous path.
+    sync = []
+    for i in range(0, 11, 4):
+        sync += CaptionServer(cfg, params, model, src.vocab,
+                              ladder=(1, 2)).run_batch(
+            np.stack(feats_all[i:i + 4]), caps_all[i:i + 4])
+    assert sync == [r["caption"] for r in lines]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_in_flight"):
+        serve_stream(server, io.StringIO(""), io.StringIO(),
+                     max_in_flight=0)
+
+
 def test_serve_flush_ms_drains_partial_batch_without_eof():
     """A lone request on a long-lived connection must be answered within
     the latency bound, not wait for EOF/flush. Driven over a real pipe:
