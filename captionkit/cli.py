@@ -163,7 +163,39 @@ def _load_model_and_params(args, model, mcfg):
             ensemble_model(model, len(paths), mode=mode),
             load_ensemble_params(model, paths),
         )
+    if len(paths) == 1:
+        # Load the CLEANED single path directly: a stray trailing comma
+        # ("--params a.npz,") must not fall through to _load_params'
+        # raw-string comma check, whose "ensembles are for decode/serve
+        # only" message would be nonsense here — we ARE decode/serve.
+        from captionkit.train.checkpoint import load_params_npz
+
+        template = model.init(jax.random.PRNGKey(0))
+        return model, load_params_npz(template, paths[0])
     return model, _load_params(args, model, mcfg)
+
+
+def _load_stage_params(args, model, raw: str | None):
+    """Resolve one pipeline STAGE's --*-params value: none -> random
+    init, one path -> plain load, a comma list -> that stage becomes a
+    checkpoint ensemble (same semantics as `decode --params a,b`) — so
+    stacked pipelines can ensemble either editor independently."""
+    paths = [p for p in (raw or "").split(",") if p]
+    if len(paths) > 1:
+        from captionkit.models import ensemble_model, load_ensemble_params
+
+        mode = getattr(args, "ensemble_mode", "logprob")
+        return (
+            ensemble_model(model, len(paths), mode=mode),
+            load_ensemble_params(model, paths),
+        )
+    if paths:
+        from captionkit.train.checkpoint import load_params_npz
+
+        return model, load_params_npz(
+            model.init(jax.random.PRNGKey(0)), paths[0]
+        )
+    return model, model.init(jax.random.PRNGKey(args.seed))
 
 
 def _export_trained_params(args, state) -> None:
@@ -311,15 +343,8 @@ def cmd_decode_stacked(args) -> int:
     dcnet = get_model(mcfg_d)
     editnet = get_model(mcfg_e)
 
-    def load(model, path):
-        if path:
-            from captionkit.train.checkpoint import load_params_npz
-
-            return load_params_npz(model.init(jax.random.PRNGKey(0)), path)
-        return model.init(jax.random.PRNGKey(args.seed))
-
-    dp = load(dcnet, args.dcnet_params)
-    ep = load(editnet, args.editnet_params)
+    dcnet, dp = _load_stage_params(args, dcnet, args.dcnet_params)
+    editnet, ep = _load_stage_params(args, editnet, args.editnet_params)
     first = dataclasses.replace(cfg.decode, method="greedy", beam_size=1)
     fn = make_stacked_decode_fn(
         dcnet, editnet, first_stage=first, second_stage=cfg.decode,
@@ -549,8 +574,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("decode-stacked",
                         help="DCNet->EditNet stacked editing of a split")
     add_common(sp, with_params=False)
-    sp.add_argument("--dcnet-params", dest="dcnet_params")
-    sp.add_argument("--editnet-params", dest="editnet_params")
+    sp.add_argument("--dcnet-params", dest="dcnet_params",
+                    help="DCNet checkpoint .npz; a comma list ensembles "
+                         "that stage (see --ensemble-mode)")
+    sp.add_argument("--editnet-params", dest="editnet_params",
+                    help="EditNet checkpoint .npz; a comma list ensembles "
+                         "that stage (see --ensemble-mode)")
+    sp.add_argument("--ensemble-mode", dest="ensemble_mode",
+                    choices=["logprob", "prob"], default="logprob",
+                    help="per-step member combination for comma-list "
+                         "stage params")
     sp.add_argument("--out", help="results JSON path")
     sp.add_argument("--no-metrics", action="store_true")
 
@@ -630,7 +663,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve the DCNet->EditNet stacked pipeline "
                          "(--params = EditNet, --dcnet-params = DCNet)")
     sp.add_argument("--dcnet-params", dest="dcnet_params",
-                    help="DCNet params .npz for --stacked")
+                    help="DCNet params .npz for --stacked; a comma list "
+                         "ensembles that stage (see --ensemble-mode)")
     sp.add_argument("--seed", type=int, default=0)
 
     sp = sub.add_parser(
@@ -747,14 +781,7 @@ def cmd_serve(args) -> int:
 
         mcfg_d = dataclasses.replace(mcfg, arch="dcnet")
         dcnet = get_model(mcfg_d)
-        if args.dcnet_params:
-            from captionkit.train.checkpoint import load_params_npz
-
-            dp = load_params_npz(
-                dcnet.init(jax.random.PRNGKey(0)), args.dcnet_params
-            )
-        else:
-            dp = dcnet.init(jax.random.PRNGKey(args.seed))
+        dcnet, dp = _load_stage_params(args, dcnet, args.dcnet_params)
         first = dataclasses.replace(cfg.decode, method="greedy",
                                     beam_size=1)
         stacked = make_stacked_decode_fn(

@@ -70,7 +70,7 @@ _ABBREVIATIONS = frozenset({
     "mr.", "mrs.", "ms.", "dr.", "prof.", "rev.", "hon.", "sr.", "jr.",
     "st.", "mt.", "messrs.", "mmes.",
     # military / government ranks
-    "capt.", "sgt.", "lt.", "cmdr.", "adm.", "maj.",
+    "capt.", "sgt.", "lt.", "cmdr.", "adm.",
     "gov.", "sen.", "pres.", "supt.", "det.",
     # months
     "jan.", "feb.", "apr.", "jun.", "jul.", "aug.", "sep.",
@@ -89,7 +89,7 @@ _ABBREVIATIONS = frozenset({
 # "no." (number) want a following digit; the rank/title subset also
 # accepts Capitalized-title + Capitalized-name.
 _AMBIGUOUS_ABBREVS = frozenset({
-    "no.", "in.", "fig.", "gen.", "rep.", "mar.", "col.", "apt.",
+    "no.", "in.", "fig.", "gen.", "rep.", "mar.", "col.", "apt.", "maj.",
 })
 _TITLE_AMBIGUOUS = frozenset({"gen.", "rep.", "col.", "maj."})
 

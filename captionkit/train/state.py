@@ -107,12 +107,15 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         txs.append(optax.sgd(cfg.learning_rate))
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    if getattr(cfg, "ema_decay", 0.0) > 0.0:
-        if not (0.0 < cfg.ema_decay < 1.0):
-            raise ValueError(
-                f"train.ema_decay must be in (0, 1), got {cfg.ema_decay}"
-            )
-        txs.append(ema_weights(cfg.ema_decay))
+    ema_decay = getattr(cfg, "ema_decay", 0.0)
+    # Validate BEFORE the enable gate: a negative decay (sign typo) must
+    # raise like 1.5 does, not silently disable EMA.
+    if ema_decay != 0.0 and not (0.0 < ema_decay < 1.0):
+        raise ValueError(
+            f"train.ema_decay must be 0 (off) or in (0, 1), got {ema_decay}"
+        )
+    if ema_decay > 0.0:
+        txs.append(ema_weights(ema_decay))
     return optax.chain(*txs)
 
 

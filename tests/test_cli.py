@@ -215,6 +215,88 @@ def test_cli_decode_ensemble(tmp_path, capsys):
     assert dup == one
 
 
+def test_cli_decode_trailing_comma_is_single_checkpoint(tmp_path, capsys):
+    """`decode --params a.npz,` (stray comma) must behave exactly like
+    `--params a.npz` — round 4's fall-through raised the misleading
+    'ensembles are for decode/serve only' error inside decode itself."""
+    import dataclasses
+
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.train.checkpoint import save_params_npz
+    from captionkit.utils.config import get_named_config
+
+    cfg = get_named_config("editnet_greedy")
+    src = SyntheticCaptionSource(
+        num_images=8, captions_per_image=cfg.data.captions_per_image,
+        num_regions=4, feat_dim=16, max_len=12, seed=cfg.data.seed,
+    )
+    mcfg = dataclasses.replace(
+        cfg.model, vocab_size=len(src.dataset.vocab), emb_dim=24,
+        hidden_dim=24, att_dim=16, feat_dim=16, num_regions=4,
+    )
+    model = get_model(mcfg)
+    pa = str(tmp_path / "a.npz")
+    save_params_npz(model.init(jax.random.PRNGKey(1)), pa)
+    out_comma = str(tmp_path / "comma.json")
+    out_plain = str(tmp_path / "plain.json")
+    assert main(["decode", "--config", "editnet_greedy", "--synthetic",
+                 "--images", "8", "--set", "decode.batch_size=8",
+                 "--params", pa + ",", "--out", out_comma, *TINY]) == 0
+    capsys.readouterr()
+    assert main(["decode", "--config", "editnet_greedy", "--synthetic",
+                 "--images", "8", "--set", "decode.batch_size=8",
+                 "--params", pa, "--out", out_plain, *TINY]) == 0
+    capsys.readouterr()
+    with open(out_comma) as f:
+        a = json.load(f)
+    with open(out_plain) as f:
+        b = json.load(f)
+    assert a == b
+
+
+def test_cli_decode_stacked_stage_ensembles(tmp_path, capsys):
+    """decode-stacked accepts comma lists per stage: each editor becomes
+    its own checkpoint ensemble (the MIGRATING.md claim, now wired)."""
+    import dataclasses
+
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.train.checkpoint import save_params_npz
+    from captionkit.utils.config import get_named_config
+
+    cfg = get_named_config("editnet_beam5")
+    src = SyntheticCaptionSource(
+        num_images=6, captions_per_image=cfg.data.captions_per_image,
+        num_regions=4, feat_dim=16, max_len=12, seed=cfg.data.seed,
+    )
+    base = dataclasses.replace(
+        cfg.model, vocab_size=len(src.dataset.vocab), emb_dim=24,
+        hidden_dim=24, att_dim=16, feat_dim=16, num_regions=4,
+    )
+    paths = {}
+    for arch in ("dcnet", "editnet"):
+        m = get_model(dataclasses.replace(base, arch=arch))
+        ps = []
+        for i in (1, 2):
+            p = str(tmp_path / f"{arch}{i}.npz")
+            save_params_npz(m.init(jax.random.PRNGKey(i)), p)
+            ps.append(p)
+        paths[arch] = ",".join(ps)
+    rc = main(["decode-stacked", "--config", "editnet_beam5", "--synthetic",
+               "--images", "6", "--set", "decode.batch_size=6",
+               "--set", "decode.beam_size=3",
+               "--dcnet-params", paths["dcnet"],
+               "--editnet-params", paths["editnet"], *TINY])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["captions"] == 6 and "CIDEr" in out
+
+
 def test_cli_train_xe_ema_export_and_decode(tmp_path, capsys):
     """train.ema_decay tracks Polyak weights; --export-ema writes a
     decode-ready npz that `decode --params` consumes."""

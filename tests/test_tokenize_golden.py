@@ -94,6 +94,9 @@ GOLDEN = [
     ("Col. Mustard holds a candlestick.",
      ["col.", "mustard", "holds", "a", "candlestick"]),
     ("Gen. Lee rides a horse", ["gen.", "lee", "rides", "a", "horse"]),
+    ("Maj. Mustard salutes", ["maj.", "mustard", "salutes"]),
+    # lowercase "maj" without the cue: standalone reading
+    ("a maj. chord", ["a", "maj", "chord"]),
     # sentence-final "No." before a new Capitalized sentence: standalone
     # ("no." is not a title, and "A" is not a digit)
     ("He said no. A dog barked.", ["he", "said", "no", "a", "dog",

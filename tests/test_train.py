@@ -545,6 +545,10 @@ def test_ema_decay_validated():
 
     with pytest.raises(ValueError, match="ema_decay"):
         make_optimizer(TrainConfig(ema_decay=1.5))
+    # A negative decay (sign typo) must raise too, not silently
+    # disable EMA (round-4 advisor finding).
+    with pytest.raises(ValueError, match="ema_decay"):
+        make_optimizer(TrainConfig(ema_decay=-0.5))
 
 
 def test_ema_init_does_not_alias_params():
