@@ -113,6 +113,21 @@ def main() -> int:
                          "members — the cost model, not the quality). "
                          "beam/greedy only; vs_baseline reports 0 (the "
                          "CPU denominator is a single-model decode)")
+    ap.add_argument("--ab", default="",
+                    help="paired interleaved A/B over one knob: "
+                         "'beam-impl=register,backptr' (also head-impl, "
+                         "cell-impl, head-quant). Builds BOTH decode "
+                         "programs over the SAME params and pre-staged "
+                         "batches, warms both, then alternates timed "
+                         "passes A,B,A,B,... --runs times and reports "
+                         "PER-PAIR percentage deltas with their spread — "
+                         "the protocol sub-5%% claims need (round-4 "
+                         "verdict weak #3: independent medians of 3 carry "
+                         "13-16%% spreads; paired same-session deltas "
+                         "cancel the slow drift those spreads are made "
+                         "of). A delta is a finding only if |median "
+                         "delta| > delta spread; otherwise report "
+                         "'indistinguishable'.")
     ap.add_argument("--runs", type=int, default=3,
                     help="timed passes over the pre-staged split; the "
                          "headline value is the MEDIAN and the JSON tail "
@@ -192,6 +207,92 @@ def main() -> int:
     from captionkit.utils.tpuopts import decode_compiler_options
 
     start_id = mcfg.vocab_size - 2
+
+    if args.ab:
+        if args.method != "beam" or args.ensemble > 1:
+            print("bench.py: --ab supports --method beam, single model",
+                  file=sys.stderr)
+            return 2
+        key, _, vals = args.ab.partition("=")
+        parts = vals.split(",")
+        knobs = ("beam-impl", "head-impl", "cell-impl", "head-quant")
+        if key not in knobs or len(parts) != 2:
+            print(f"bench.py: --ab wants KEY=A,B with KEY in {knobs}",
+                  file=sys.stderr)
+            return 2
+        va, vb = parts
+
+        def build(v: str):
+            beam_impl = args.beam_impl
+            o = dict(over)
+            if key == "beam-impl":
+                beam_impl = v
+            else:
+                o[key.replace("-", "_")] = v
+            m = ModelConfig(arch=args.arch, dropout=0.0, **o, **PAPER)
+            mod = get_model(m)
+
+            @functools.partial(
+                jax.jit, compiler_options=decode_compiler_options())
+            def dec(params, feats, existing, existing_len):
+                ctx = mod.encode(params, feats, existing, existing_len)
+                return beam_search(
+                    mod, params, ctx, beam_size=args.beam,
+                    start_id=start_id, end_id=-1,
+                    max_len=args.max_len, impl=beam_impl,
+                ).tokens
+
+            return dec
+
+        # Params are shared (these knobs change dispatch, not shapes), so
+        # every pair times the SAME numerical program family on the SAME
+        # pre-staged batches back-to-back — drift that plagued the
+        # independent-medians protocol cancels inside each pair.
+        dec_a, dec_b = build(va), build(vb)
+        warm = make_batch(999)
+        jax.device_get(dec_a(params, *warm))  # compile A, excluded
+        jax.device_get(dec_b(params, *warm))  # compile B, excluded
+        n_batches = max(1, args.images // B)
+        batches = [jax.device_put(make_batch(i)) for i in range(n_batches)]
+        jax.device_get([jnp.sum(fb[2]) for fb in batches])
+        n_caps = n_batches * B
+        runs_a: list[float] = []
+        runs_b: list[float] = []
+        for _ in range(max(2, args.runs)):
+            for dec, dest in ((dec_a, runs_a), (dec_b, runs_b)):
+                t0 = time.perf_counter()
+                outs = [dec(params, *fb) for fb in batches]
+                jax.device_get(outs)
+                dest.append(n_caps / (time.perf_counter() - t0))
+        deltas = [100.0 * (b - a) / a for a, b in zip(runs_a, runs_b)]
+        med = float(np.median(deltas))
+        spread = max(deltas) - min(deltas)
+        distinguishable = abs(med) > spread
+        print(json.dumps({
+            "metric": (
+                f"paired A/B {key}: A={va} vs B={vb} ({args.arch}, "
+                f"beam={args.beam}, max_len={args.max_len}, batch={B}, "
+                f"{n_caps} images, interleaved A,B x {len(deltas)} pairs)"
+            ),
+            "a": va,
+            "b": vb,
+            "a_cps": round(float(np.median(runs_a)), 2),
+            "b_cps": round(float(np.median(runs_b)), 2),
+            "delta_pct_median": round(med, 2),
+            "delta_pct_pairs": [round(d, 2) for d in deltas],
+            "delta_spread_pct": round(spread, 2),
+            "distinguishable": bool(distinguishable),
+            "verdict": (
+                f"B {'faster' if med > 0 else 'slower'} by "
+                f"{abs(med):.2f}% (|median delta| > pair spread)"
+                if distinguishable else
+                "indistinguishable at this protocol's resolution"
+            ),
+            "a_runs": [round(r, 2) for r in runs_a],
+            "b_runs": [round(r, 2) for r in runs_b],
+        }))
+        return 0
+
     if args.method == "beam":
 
         @functools.partial(

@@ -71,6 +71,14 @@ class CaptionServer:
         self.max_existing_len = cfg.data.max_existing_len
         self.num_regions = cfg.model.num_regions
         self.feat_dim = cfg.model.feat_dim
+        # Host->device dtype for region features (cfg.decode.feed_dtype,
+        # same knob the eval driver honors): "bfloat16" halves the
+        # dominant H2D traffic — on a tunnel-attached chip that transfer
+        # IS the serving bottleneck (bench_serve sustained-load sweep),
+        # and the model computes its context in bf16 anyway.
+        import jax.numpy as jnp
+
+        self._feed_dtype = jnp.dtype(cfg.decode.feed_dtype)
         self._decode_fn = decode_fn if decode_fn is not None else \
             make_decode_fn(
                 model, cfg.decode, start_id=vocab.start, end_id=vocab.end,
@@ -120,7 +128,7 @@ class CaptionServer:
             ids[i] = enc
             lens[i] = ln
         tokens_dev = self._decode_fn(
-            self.params, jnp.asarray(feats.astype(np.float32)),
+            self.params, jnp.asarray(feats.astype(self._feed_dtype)),
             jnp.asarray(ids), jnp.asarray(lens),
             jnp.asarray(0, jnp.int32),
         )
