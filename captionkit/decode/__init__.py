@@ -16,6 +16,8 @@ from captionkit.decode.greedy import greedy_decode, sample_decode  # noqa: F401
 from captionkit.decode.beam import beam_search, BeamResult  # noqa: F401
 from captionkit.decode.introspect import (  # noqa: F401
     AttentionTrace,
+    BeamAttentionTrace,
     attention_report,
+    beam_decode_with_attention,
     greedy_decode_with_attention,
 )

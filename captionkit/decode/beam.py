@@ -117,11 +117,22 @@ def _reconstruct(
     slot_sel: jax.Array,  # [B, J] slot it occupied at that step
     active: jax.Array,  # [B, J] bool — False rows come out all-pad
     pad_id: int,
-) -> jax.Array:
+    *,
+    return_path: bool = False,
+):
     """Walk the backpointer chains once, newest step first: position t of a
     selected hypothesis is tok_hist[t] at its ancestor slot, found by
     following par_hist backwards from (t_sel, slot_sel). Returns
-    [B, J, L] pad-filled beyond t_sel."""
+    [B, J, L] pad-filled beyond t_sel.
+
+    With ``return_path=True`` additionally returns the slot chain:
+    ``slot_at`` [B, J, L] — the live slot hypothesis j occupied AFTER
+    step t (where its step-t token landed), and ``src_at`` [B, J, L] —
+    the slot it occupied ENTERING step t (the parent slot, which indexes
+    anything recorded per-step BEFORE the reorder, e.g. attention
+    distributions from ``step_attn``). Both are only meaningful for
+    t <= t_sel; beam-mode introspection (decode/introspect.py) is the
+    consumer."""
     L = tok_hist.shape[0]
 
     def step(cur, xs):
@@ -130,14 +141,22 @@ def _reconstruct(
         tok = jnp.take_along_axis(tok_t, cur, axis=1)
         par = jnp.take_along_axis(par_t, cur, axis=1)
         out = jnp.where(on, tok, pad_id)
-        cur = jnp.where(on, par, cur)
-        return cur, out
+        new_cur = jnp.where(on, par, cur)
+        ys = (out, cur, par) if return_path else out
+        return new_cur, ys
 
     ts = jnp.arange(L - 1, -1, -1)
-    _, toks_rev = jax.lax.scan(
+    _, ys = jax.lax.scan(
         step, slot_sel, (tok_hist[::-1], par_hist[::-1], ts)
-    )  # [L, B, J], index i holds step L-1-i
-    return jnp.flip(toks_rev, axis=0).transpose(1, 2, 0)
+    )  # [L, B, J] leaves, index i holds step L-1-i
+
+    def unrev(x):  # [L, B, J] reversed-step stack -> [B, J, L]
+        return jnp.flip(x, axis=0).transpose(1, 2, 0)
+
+    if return_path:
+        toks_rev, slot_rev, src_rev = ys
+        return unrev(toks_rev), unrev(slot_rev), unrev(src_rev)
+    return unrev(ys)
 
 
 def beam_search(

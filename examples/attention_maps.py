@@ -2,7 +2,14 @@
 paper's qualitative figures (SCMA copy sources, visual grounding).
 
     python examples/attention_maps.py [--platform cpu] [--arch editnet]
-        [--images 8] [--out attn.npz]
+        [--images 8] [--out attn.npz] [--beam 5] [--params a.npz[,b.npz]]
+
+Greedy by default; ``--beam K`` traces the WINNING beam hypothesis
+instead — its token sequence is exactly ``beam_search``'s (the trace
+walks the same backpointer machinery; pinned by
+tests/test_introspect.py), and its attention rows are gathered along the
+winner's parent-slot path. A comma-list ``--params`` traces a checkpoint
+ensemble's mean attention.
 
 Prints a per-step report for the first image (emitted word, the
 existing-caption word SCMA attends to, weights) and saves every image's
@@ -25,7 +32,12 @@ def main() -> int:
                     default="editnet")
     ap.add_argument("--images", type=int, default=8)
     ap.add_argument("--out", default="attn.npz")
-    ap.add_argument("--params", default="", help="params .npz (optional)")
+    ap.add_argument("--params", default="",
+                    help="params .npz (optional); a comma list traces a "
+                         "checkpoint ensemble's mean attention")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="trace the winning hypothesis of beam-K search "
+                         "instead of greedy decode")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +50,10 @@ def main() -> int:
 
     from captionkit.data import SyntheticCaptionSource
     from captionkit.decode import greedy_decode_with_attention
-    from captionkit.decode.introspect import attention_report
+    from captionkit.decode.introspect import (
+        attention_report,
+        beam_decode_with_attention,
+    )
     from captionkit.models import get_model
     from captionkit.utils.config import ModelConfig
 
@@ -49,11 +64,18 @@ def main() -> int:
                        emb_dim=64, hidden_dim=64, att_dim=32, feat_dim=64,
                        num_regions=8, dropout=0.0)
     model = get_model(mcfg)
-    params = model.init(jax.random.PRNGKey(0))
-    if args.params:
-        from captionkit.train.checkpoint import load_params_npz
+    paths = [p for p in args.params.split(",") if p]
+    if len(paths) > 1:
+        from captionkit.models import ensemble_model, load_ensemble_params
 
-        params = load_params_npz(params, args.params)
+        params = load_ensemble_params(model, paths)
+        model = ensemble_model(model, len(paths))
+    else:
+        params = model.init(jax.random.PRNGKey(0))
+        if paths:
+            from captionkit.train.checkpoint import load_params_npz
+
+            params = load_params_npz(params, paths[0])
     ds = src.eval_view()
     feats = (None if args.arch == "dcnet" else
              jnp.asarray(np.asarray(ds.features, np.float32)))
@@ -61,10 +83,18 @@ def main() -> int:
                        jnp.asarray(np.asarray(ds.existing, np.int32)),
                        jnp.asarray(np.asarray(ds.existing_len, np.int32)))
     v = src.vocab
-    trace = greedy_decode_with_attention(
-        model, params, ctx, start_id=v.start, end_id=v.end, pad_id=v.pad,
-        max_len=14,
-    )
+    if args.beam > 0:
+        trace = beam_decode_with_attention(
+            model, params, ctx, beam_size=args.beam, start_id=v.start,
+            end_id=v.end, pad_id=v.pad, max_len=14,
+        )
+        print(f"beam={args.beam} winner score: "
+              f"{float(trace.result.scores[0]):.4f}")
+    else:
+        trace = greedy_decode_with_attention(
+            model, params, ctx, start_id=v.start, end_id=v.end,
+            pad_id=v.pad, max_len=14,
+        )
     rep = attention_report(trace, 0, v, np.asarray(ds.existing[0]))
     print("existing caption:",
           " ".join(v.decode(np.asarray(ds.existing[0]))))

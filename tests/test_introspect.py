@@ -91,6 +91,125 @@ def test_dcnet_alpha_masked_and_visual_variant():
     assert set(tr2.attention) == {"alpha", "vis_alpha"}
 
 
+@pytest.mark.parametrize("arch", ["editnet", "dcnet"])
+@pytest.mark.parametrize("impl", ["register", "backptr"])
+def test_beam_attention_matches_beam_search(arch, impl):
+    """beam_decode_with_attention's tokens/scores/n-best are pinned to
+    beam_search exactly, against BOTH history layouts."""
+    from captionkit.decode import beam_search
+    from captionkit.decode.introspect import beam_decode_with_attention
+
+    src, model, params, ctx, ds = _setup(arch)
+    v = src.vocab
+    kw = dict(beam_size=3, start_id=v.start, end_id=v.end, pad_id=v.pad,
+              max_len=9)
+    ref = beam_search(model, params, ctx, impl=impl, **kw)
+    trace = beam_decode_with_attention(model, params, ctx, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(trace.result.tokens))
+    np.testing.assert_allclose(np.asarray(ref.scores),
+                               np.asarray(trace.result.scores), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                  np.asarray(trace.result.lengths))
+    np.testing.assert_array_equal(np.asarray(ref.all_tokens),
+                                  np.asarray(trace.result.all_tokens))
+    # the rollout view is the winner row
+    np.testing.assert_array_equal(np.asarray(trace.rollout.tokens),
+                                  np.asarray(trace.result.tokens))
+    # raw-sum ranking: per-step logprobs along the winner path sum to
+    # its score
+    np.testing.assert_allclose(
+        np.asarray(trace.rollout.logprobs).sum(-1),
+        np.asarray(trace.result.scores), atol=1e-4,
+    )
+
+
+def test_beam_attention_matches_length_penalty_variant():
+    from captionkit.decode import beam_search
+    from captionkit.decode.introspect import beam_decode_with_attention
+
+    src, model, params, ctx, ds = _setup("editnet")
+    v = src.vocab
+    kw = dict(beam_size=3, start_id=v.start, end_id=v.end, pad_id=v.pad,
+              max_len=9, length_penalty=0.7)
+    ref = beam_search(model, params, ctx, **kw)
+    trace = beam_decode_with_attention(model, params, ctx, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(trace.result.tokens))
+    np.testing.assert_allclose(np.asarray(ref.scores),
+                               np.asarray(trace.result.scores), atol=1e-5)
+
+
+def test_beam_attention_winner_path_replay():
+    """The strongest pin: replaying the winner's token prefix through
+    step_attn one image at a time must reproduce the trace's gathered
+    attention (and masked steps are exactly zero)."""
+    import jax.numpy as jnp
+
+    from captionkit.decode.introspect import beam_decode_with_attention
+
+    src, model, params, ctx, ds = _setup("editnet")
+    v = src.vocab
+    trace = beam_decode_with_attention(
+        model, params, ctx, beam_size=3, start_id=v.start, end_id=v.end,
+        pad_id=v.pad, max_len=9,
+    )
+    tokens = np.asarray(trace.rollout.tokens)
+    lengths = np.asarray(trace.rollout.lengths)
+    B, L = tokens.shape
+    for b in range(min(B, 3)):
+        ctx1 = jax.tree.map(lambda x: x[b:b + 1], ctx)
+        state = model.init_state(params, ctx1)
+        tok = jnp.asarray([v.start], jnp.int32)
+        for t in range(int(lengths[b])):
+            state, _, attn = model.step_attn(params, ctx1, state, tok)
+            for key, arr in trace.attention.items():
+                np.testing.assert_allclose(
+                    np.asarray(arr[b, t]), np.asarray(attn[key][0]),
+                    atol=1e-5,
+                    err_msg=f"image {b} step {t} key {key}",
+                )
+            tok = jnp.asarray([tokens[b, t]], jnp.int32)
+        for key, arr in trace.attention.items():
+            tail = np.asarray(arr[b, int(lengths[b]):])
+            assert tail.size == 0 or np.abs(tail).max() == 0.0
+
+
+def test_beam_attention_ensemble_mean():
+    """Ensemble beam tracing works and reports the members' MEAN
+    attention (weak #6 tail: the ensemble inherits the introspection
+    surface)."""
+    from captionkit.decode import beam_search
+    from captionkit.decode.introspect import beam_decode_with_attention
+    from captionkit.models import ensemble_model, stack_params
+
+    src, model, params, ctx, ds = _setup("editnet")
+    v = src.vocab
+    params2 = model.init(jax.random.PRNGKey(7))
+    ens = ensemble_model(model, 2)
+    eparams = stack_params([params, params2])
+    import jax.numpy as jnp
+
+    feats = jnp.asarray(np.asarray(ds.features, np.float32))
+    ectx = ens.encode(params=eparams, features=feats,
+                      existing=jnp.asarray(np.asarray(ds.existing,
+                                                      np.int32)),
+                      existing_len=jnp.asarray(
+                          np.asarray(ds.existing_len, np.int32)))
+    kw = dict(beam_size=3, start_id=v.start, end_id=v.end, pad_id=v.pad,
+              max_len=8)
+    ref = beam_search(ens, eparams, ectx, **kw)
+    trace = beam_decode_with_attention(ens, eparams, ectx, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(trace.result.tokens))
+    beta = np.asarray(trace.attention["beta"])
+    lengths = np.asarray(trace.rollout.lengths)
+    for b in range(beta.shape[0]):
+        if lengths[b]:
+            np.testing.assert_allclose(
+                beta[b, :lengths[b]].sum(-1), 1.0, atol=1e-5)
+
+
 def test_attention_report_is_readable():
     src, model, params, ctx, ds = _setup("editnet")
     v = src.vocab
