@@ -191,12 +191,17 @@ class TrainConfig:
     # WITHOUT touching the training trajectory. Validation decodes then
     # score the EMA weights, and train-xe/train-scst --export-ema writes
     # them as a decode-ready .npz. 0 = off (the reference recipe).
-    # Measured guidance (on-chip A/B, examples/ensemble_ema_quality.py,
-    # docs/DESIGN.md session 9): the averaging window 1/(1-d) must be
-    # SMALL against the remaining improvement horizon — d=0.98 on a
-    # 200-step run lost 0.6 CIDEr to lag, d=0.9 was neutral. EMA's win
-    # condition is long noisy training (big-data XE tails, SCST), not
-    # short clean runs; default stays 0.
+    # Measured guidance (on-chip A/Bs: examples/ensemble_ema_quality.py
+    # session 9; examples/ema_scst_curve.py session 10 — the
+    # win-condition run): the averaging window 1/(1-d) must be SMALL
+    # against the remaining improvement horizon — d=0.98 on a 200-step
+    # run lost 0.6 CIDEr to lag, d=0.9 was neutral. On EMA's home turf
+    # (2,500-step SCST, d=0.995, window 200 << horizon) EMA reaches
+    # near-plateau CIDEr ~2x earlier while the raw trajectory is still
+    # churning (step 500: EMA 0.587 vs raw 0.514), then reads NEUTRAL at
+    # the plateau (median delta -0.004 over the last 1,500 steps). Use it
+    # for early-stopping robustness / time-to-quality under REINFORCE
+    # noise, not for a converged-quality win; default stays 0.
     ema_decay: float = 0.0
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
