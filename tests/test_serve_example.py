@@ -284,6 +284,57 @@ def test_serve_flush_ms_drains_partial_batch_without_eof():
     assert lines[-1]["id"] == 7 and isinstance(lines[-1]["caption"], str)
 
 
+def test_serve_feed_dtype_bf16_matches_f32():
+    """decode.feed_dtype='bfloat16' halves the H2D feature bytes (the
+    serving wall on a tunnel-attached chip, bench_serve sustained sweep)
+    and must NOT change the compute path: the model casts context to
+    bf16 at encode anyway. On features that are exact on a bf16 grid
+    (quarter-integers; region means are then exact in both reduction
+    orders), the bf16-fed server must answer byte-identically to the
+    f32-fed one — and actually ship bf16 over the transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.serve import CaptionServer
+    from captionkit.utils.config import CaptionKitConfig
+
+    base = CaptionKitConfig().override({
+        "model.emb_dim": 16, "model.hidden_dim": 24, "model.att_dim": 8,
+        "model.feat_dim": 12, "model.num_regions": 4,
+        "decode.method": "beam", "decode.beam_size": 3,
+        "decode.max_decode_len": 8, "decode.batch_size": 4,
+        "data.max_existing_len": 12,
+    })
+    src = SyntheticCaptionSource(num_images=2, captions_per_image=1,
+                                 num_regions=4, feat_dim=12, max_len=12,
+                                 seed=0)
+    base = base.override({"model.vocab_size": len(src.vocab)})
+    model = get_model(base.model)
+    params = model.init(jax.random.PRNGKey(5))
+
+    rng = np.random.default_rng(6)
+    feats = (rng.integers(-8, 8, size=(4, 4, 12)) / 4.0).astype(np.float32)
+    caps = ["a dog runs", "a cat sits", "a man rides", "a bird flies"]
+
+    f32 = CaptionServer(base, params, model, src.vocab)
+    bf16 = CaptionServer(
+        base.override({"decode.feed_dtype": "bfloat16"}),
+        params, model, src.vocab)
+
+    fed = []
+    inner = bf16._decode_fn
+
+    def spy(p, f, ids, lens, t0):
+        fed.append(f.dtype)
+        return inner(p, f, ids, lens, t0)
+
+    bf16._decode_fn = spy
+    assert bf16.run_batch(feats, caps) == f32.run_batch(feats, caps)
+    assert fed == [jnp.bfloat16]
+
+
 def test_serve_stacked_pipeline():
     """--stacked serves the DCNet->EditNet chain: same protocol, answers
     for every request."""
