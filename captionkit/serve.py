@@ -172,10 +172,13 @@ def serve_stream(
     host work overlap device compute instead of serializing with it.
     1 restores the fully synchronous round-4 behavior.
     """
+    import time
+
     if max_in_flight < 1:
         raise ValueError("max_in_flight must be >= 1")
     R, F = server.num_regions, server.feat_dim
     pending: list[tuple] = []
+    oldest_ts = 0.0  # monotonic arrival time of pending[0]
     in_flight: list[tuple] = []  # (handle, [request ids]) FIFO
     served = 0
 
@@ -235,6 +238,9 @@ def serve_stream(
                   "error": f"features must be [{R}, {F}], "
                            f"got {list(feats.shape)}"})
             return
+        nonlocal oldest_ts
+        if not pending:
+            oldest_ts = time.monotonic()
         pending.append((req.get("id"), feats, req.get("caption", "")))
         if len(pending) >= server.batch:
             submit()  # async dispatch; keep reading while it decodes
@@ -264,7 +270,11 @@ def serve_stream(
     threading.Thread(target=reader, daemon=True).start()
     while True:
         if pending:
-            timeout: Optional[float] = flush_ms / 1000.0
+            # The bound is on the OLDEST queued request's total wait —
+            # not re-armed per received line, or a steady trickle that
+            # never fills a batch would starve it past flush_ms.
+            waited = time.monotonic() - oldest_ts
+            timeout: Optional[float] = max(0.0, flush_ms / 1000.0 - waited)
         elif in_flight:
             timeout = 0.0  # answer in-flight batches before blocking
         else:
@@ -277,10 +287,16 @@ def serve_stream(
             elif in_flight:
                 drain_one()  # input is idle; answer the oldest batch
             continue
+        if item is not _EOF:
+            line = item.strip()
+            if line:
+                handle(line)
+        # Staleness check AFTER handling too: a flood of lines that never
+        # fills a batch (e.g. malformed ones) keeps q.get returning items,
+        # so the timeout alone would never fire.
+        if pending and time.monotonic() - oldest_ts >= flush_ms / 1000.0:
+            flush()
         if item is _EOF:
             break
-        line = item.strip()
-        if line:
-            handle(line)
     flush()
     return served

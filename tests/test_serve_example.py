@@ -284,6 +284,86 @@ def test_serve_flush_ms_drains_partial_batch_without_eof():
     assert lines[-1]["id"] == 7 and isinstance(lines[-1]["caption"], str)
 
 
+def test_serve_flush_ms_bounds_oldest_wait_under_trickle():
+    """The flush_ms bound is on the OLDEST queued request's total wait.
+    Regression: the loop used to re-arm the timeout on every received
+    line, so a steady trickle spaced < flush_ms that never fills the
+    batch starved the first request indefinitely. Under a 60 ms-spaced
+    trickle with flush_ms=200 and batch=32, the first answer must arrive
+    long before the batch could fill (32 requests)."""
+    import io
+    import os
+    import threading
+    import time
+
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.models import get_model
+    from captionkit.serve import CaptionServer, serve_stream
+    from captionkit.utils.config import CaptionKitConfig
+
+    cfg = CaptionKitConfig().override({
+        "model.emb_dim": 16, "model.hidden_dim": 24, "model.att_dim": 8,
+        "model.feat_dim": 12, "model.num_regions": 4,
+        "decode.method": "beam", "decode.beam_size": 3,
+        "decode.max_decode_len": 8, "decode.batch_size": 32,
+        "data.max_existing_len": 12,
+    })
+    src = SyntheticCaptionSource(num_images=2, captions_per_image=1,
+                                 num_regions=4, feat_dim=12, max_len=12,
+                                 seed=0)
+    cfg = cfg.override({"model.vocab_size": len(src.vocab)})
+    model = get_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    server = CaptionServer(cfg, params, model, src.vocab, ladder=(4, 8))
+    server.warmup()  # no rung pays a first-use compile below
+
+    r_fd, w_fd = os.pipe()
+    in_stream = os.fdopen(r_fd, "r")
+    writer = os.fdopen(w_fd, "w")
+    out = io.StringIO()
+    sent = 0
+    sent_at_first_answer = [None]
+
+    class _Out:
+        def write(self, s):
+            out.write(s)
+            if '"caption"' in s and sent_at_first_answer[0] is None:
+                sent_at_first_answer[0] = sent
+            return len(s)
+
+        def flush(self):
+            pass
+
+    def client():
+        nonlocal sent
+        feats = np.zeros((4, 12)).tolist()
+        deadline = time.monotonic() + 8.0
+        while sent < 32 and time.monotonic() < deadline:
+            if sent_at_first_answer[0] is not None and sent >= 4:
+                break  # answered; a few extra lines already proved flow
+            writer.write(json.dumps({
+                "id": sent, "features_inline": feats,
+                "caption": "a dog runs"}) + "\n")
+            writer.flush()
+            sent += 1
+            time.sleep(0.06)
+        writer.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    served = serve_stream(server, in_stream, _Out(), flush_ms=200)
+    t.join()
+    assert sent_at_first_answer[0] is not None, "first request never answered"
+    # flush_ms=200 / 60 ms spacing => ~4-6 sent when the bound fires; the
+    # pre-fix behavior only answers once all 32 fill the batch (or EOF).
+    assert sent_at_first_answer[0] <= 16, (
+        f"oldest request waited past the bound: "
+        f"{sent_at_first_answer[0]} requests sent before first answer")
+    assert served == sent
+
+
 def test_serve_feed_dtype_bf16_matches_f32():
     """decode.feed_dtype='bfloat16' halves the H2D feature bytes (the
     serving wall on a tunnel-attached chip, bench_serve sustained sweep)
