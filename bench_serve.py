@@ -141,11 +141,14 @@ def main() -> int:
     ap.add_argument("--max-in-flight", type=int, default=2,
                     help="dispatched-but-uncollected batch budget "
                          "(open-loop mode; 1 = no overlap)")
-    ap.add_argument("--feed-dtype", choices=["float32", "bfloat16"],
+    ap.add_argument("--feed-dtype",
+                    choices=["float32", "bfloat16", "int8"],
                     default="float32",
                     help="H2D dtype for region features "
                          "(decode.feed_dtype); bfloat16 halves the "
-                         "dominant transfer on a tunnel-attached chip")
+                         "dominant transfer on a tunnel-attached chip, "
+                         "int8 (host quantize + device dequant, "
+                         "data/featquant.py) halves it again")
     args = ap.parse_args()
 
     import jax

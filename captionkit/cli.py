@@ -349,11 +349,16 @@ def cmd_decode_stacked(args) -> int:
     fn = make_stacked_decode_fn(
         dcnet, editnet, first_stage=first, second_stage=cfg.decode,
         start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
+        feed_dtype=cfg.decode.feed_dtype,
     )
+    from captionkit.data.featquant import feed_to_device, quantize_for_feed
+
     hyps = {}
     for batch in eval_ds.batches(cfg.decode.batch_size):
         toks = np.asarray(jax.device_get(fn(
-            dp, ep, jnp.asarray(batch.features),
+            dp, ep,
+            feed_to_device(
+                quantize_for_feed(batch.features, cfg.decode.feed_dtype)),
             jnp.asarray(batch.existing), jnp.asarray(batch.existing_len),
         )))
         for row, valid, img in zip(toks, batch.valid, batch.image_id):
@@ -787,6 +792,7 @@ def cmd_serve(args) -> int:
         stacked = make_stacked_decode_fn(
             dcnet, model, first_stage=first, second_stage=cfg.decode,
             start_id=vocab.start, end_id=vocab.end, pad_id=vocab.pad,
+            feed_dtype=cfg.decode.feed_dtype,
         )
         params = (dp, params)
 

@@ -23,3 +23,8 @@ from captionkit.data.sources import (  # noqa: F401
     SyntheticCaptionSource,
     load_hdf5_features,
 )
+from captionkit.data.featquant import (  # noqa: F401
+    FEED_DTYPES,
+    dequantize_features,
+    quantize_features,
+)

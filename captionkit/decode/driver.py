@@ -19,6 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec
 
+from captionkit.data.featquant import (
+    dequantize_for_feed,
+    feed_to_device,
+    quantize_for_feed,
+)
 from captionkit.data.sources import CaptionDataset
 from captionkit.decode.beam import beam_search
 from captionkit.decode.greedy import greedy_decode, sample_decode
@@ -48,6 +53,11 @@ def make_decode_fn(
         raise ValueError(f"unknown decode method {decode_cfg.method!r}")
 
     def fn(params, features, existing, existing_len, batch_idx):
+        # int8 feed ships features as an (int8 q, f32 per-region scale)
+        # pair and dequantizes HERE, on device, to the same bf16 grid
+        # the bfloat16 feed lands on (data/featquant.py — halves the
+        # H2D bytes again on transfer-bound hosts).
+        features = dequantize_for_feed(features, decode_cfg.feed_dtype)
         ctx = model.encode(params, features, existing, existing_len)
         if decode_cfg.method == "beam" and decode_cfg.beam_size > 1:
             res = beam_search(
@@ -87,9 +97,12 @@ def make_decode_fn(
     from captionkit.parallel.mesh import batch_sharding, replicated
 
     repl, bsh = replicated(mesh), batch_sharding(mesh)
+    # int8 feed: features arrive as a (q, scale) pair; both lead with
+    # the batch axis, so both shard over 'data'.
+    fsh = (bsh, bsh) if decode_cfg.feed_dtype == "int8" else bsh
     return jax.jit(
         fn,
-        in_shardings=(repl, bsh, bsh, bsh, repl),
+        in_shardings=(repl, fsh, bsh, bsh, repl),
         out_shardings=NamedSharding(mesh, PartitionSpec()),
         compiler_options=opts,
     )
@@ -144,15 +157,12 @@ def decode_split(
             hypotheses[int(img)] = vocab.decode_to_string(row)
             n_decoded += 1
 
-    feed_dt = jnp.dtype(decode_cfg.feed_dtype)
     t_total = time.perf_counter()
     for batch_idx, batch in enumerate(dataset.batches(decode_cfg.batch_size)):
-        feats = batch.features
-        if feats is not None and feats.dtype != feed_dt:
-            feats = feats.astype(feed_dt)
+        feats = quantize_for_feed(batch.features, decode_cfg.feed_dtype)
         tokens_dev = decode_fn(
             params,
-            None if feats is None else jnp.asarray(feats),
+            feed_to_device(feats),
             jnp.asarray(batch.existing),
             jnp.asarray(batch.existing_len),
             jnp.asarray(batch_idx, jnp.int32),

@@ -45,9 +45,15 @@ def make_stacked_decode_fn(
     start_id: int,
     end_id: int,
     pad_id: int = 0,
+    feed_dtype: str = "float32",
 ):
     """Jitted (dcnet_params, editnet_params, features, existing,
-    existing_len) -> final tokens [B, L]."""
+    existing_len) -> final tokens [B, L].
+
+    ``feed_dtype`` mirrors DecodeConfig.feed_dtype for the features
+    argument: "int8" expects the host-quantized (q, scale) pair from
+    data/featquant.quantize_for_feed and dequantizes on device (both
+    stages see the same dequantized features)."""
 
     for stage in (first_stage, second_stage):
         if stage.method not in ("greedy", "beam"):
@@ -78,6 +84,9 @@ def make_stacked_decode_fn(
         existing: jax.Array,
         existing_len: jax.Array,
     ) -> jax.Array:
+        from captionkit.data.featquant import dequantize_for_feed
+
+        features = dequantize_for_feed(features, feed_dtype)
         # Stage 1: DCNet edits the incoming caption (text-conditioned).
         ctx1 = dcnet.encode(dcnet_params, features, existing, existing_len)
         toks1, lens1 = _decode(dcnet, dcnet_params, ctx1, first_stage)

@@ -74,11 +74,12 @@ class CaptionServer:
         # Host->device dtype for region features (cfg.decode.feed_dtype,
         # same knob the eval driver honors): "bfloat16" halves the
         # dominant H2D traffic — on a tunnel-attached chip that transfer
-        # IS the serving bottleneck (bench_serve sustained-load sweep),
-        # and the model computes its context in bf16 anyway.
-        import jax.numpy as jnp
-
-        self._feed_dtype = jnp.dtype(cfg.decode.feed_dtype)
+        # IS the serving bottleneck (bench_serve sustained-load sweep) —
+        # and "int8" halves it AGAIN (per-region symmetric quantization
+        # on host, dequantized on device to the same bf16 grid;
+        # data/featquant.py). The model computes its context in bf16
+        # either way.
+        self._feed_dtype = cfg.decode.feed_dtype
         self._decode_fn = decode_fn if decode_fn is not None else \
             make_decode_fn(
                 model, cfg.decode, start_id=vocab.start, end_id=vocab.end,
@@ -114,6 +115,11 @@ class CaptionServer:
         per rung). Returns an opaque handle for ``collect``."""
         import jax.numpy as jnp
 
+        from captionkit.data.featquant import (
+            feed_to_device,
+            quantize_for_feed,
+        )
+
         b = len(captions)
         target = self._rung(b)
         pad = target - b
@@ -128,7 +134,8 @@ class CaptionServer:
             ids[i] = enc
             lens[i] = ln
         tokens_dev = self._decode_fn(
-            self.params, jnp.asarray(feats.astype(self._feed_dtype)),
+            self.params,
+            feed_to_device(quantize_for_feed(feats, self._feed_dtype)),
             jnp.asarray(ids), jnp.asarray(lens),
             jnp.asarray(0, jnp.int32),
         )

@@ -232,9 +232,15 @@ class DecodeConfig:
     top_k: int = 0
     top_p: float = 1.0
     seed: int = 0  # sampling seed (method="sample"); folded per batch
-    # Host->device dtype for region features during split decode. bfloat16
-    # halves the dominant H2D traffic (the model stores/computes context in
-    # bf16 anyway); float32 preserves exact round-1 numerics.
+    # Host->device dtype for region features during split decode and
+    # serving. "bfloat16" halves the dominant H2D traffic (the model
+    # stores/computes context in bf16 anyway); "int8" halves it AGAIN
+    # via per-region symmetric quantization on host + on-device dequant
+    # to the same bf16 grid (data/featquant.py) — approximate by design
+    # (quality cost measured by examples/int8_quality_tradeoff.py
+    # --knob feed); "float32" preserves exact round-1 numerics. Use
+    # int8 when the host->device pipe is the serving wall (bench_serve
+    # sustained sweep: the saturated points sit at 86-92% of the pipe).
     feed_dtype: str = "float32"
     # Beam-search sequence-history layout (decode.beam docstring):
     # "register" carries materialized [B, K, L] sequences through the
@@ -251,6 +257,16 @@ class DecodeConfig:
     # timed out at 420s on chip (likely compile, unverified) —
     # CaptionKitConfig warns on that pair.
     beam_impl: str = "register"
+
+    def __post_init__(self) -> None:
+        # Mirrors data/featquant.FEED_DTYPES (kept inline to avoid a
+        # config->data import); anything else would fail deep inside a
+        # jitted decode program with a dtype error instead of here.
+        if self.feed_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"decode.feed_dtype must be one of float32/bfloat16/int8,"
+                f" got {self.feed_dtype!r}"
+            )
 
 
 @dataclass(frozen=True)
