@@ -149,6 +149,16 @@ def main() -> int:
                          "dominant transfer on a tunnel-attached chip, "
                          "int8 (host quantize + device dequant, "
                          "data/featquant.py) halves it again")
+    ap.add_argument("--ab-feed", default="",
+                    help="paired interleaved feed-dtype A/B for the "
+                         "open-loop mode, e.g. 'bfloat16,int8': both "
+                         "servers share params in one process and runs "
+                         "alternate A,B,A,B per rate — the only honest "
+                         "protocol on a tunnel whose bandwidth moves "
+                         "more day-to-day than the knob does "
+                         "(docs/DESIGN.md round-5 item 3)")
+    ap.add_argument("--pairs", type=int, default=3,
+                    help="A/B pairs per offered rate (--ab-feed)")
     args = ap.parse_args()
 
     import jax
@@ -193,6 +203,60 @@ def main() -> int:
           file=sys.stderr)
 
     rng = np.random.default_rng(0)
+
+    if args.ab_feed:
+        if not args.rates:
+            raise SystemExit("--ab-feed requires --rates")
+        feeds = [s.strip() for s in args.ab_feed.split(",")]
+        if len(feeds) != 2:
+            raise SystemExit("--ab-feed expects exactly two dtypes")
+        servers = {}
+        for feed in feeds:
+            s = CaptionServer(
+                cfg.override({"decode.feed_dtype": feed}), params, model,
+                src.vocab, ladder=ladder,
+            )
+            s.warmup()
+            servers[feed] = s
+        pool = [
+            rng.standard_normal(
+                (dims["num_regions"], dims["feat_dim"])).astype(np.float32)
+            for _ in range(64)
+        ]
+        out = []
+        for rate in [float(x) for x in args.rates.split(",")]:
+            pairs = []
+            for _ in range(args.pairs):
+                rec = {}
+                for feed in feeds:
+                    rec[feed] = _open_loop(
+                        servers[feed], pool, rate, args.num_requests,
+                        args.flush_ms, args.max_in_flight,
+                    )["achieved_rps"]
+                rec["delta_pct"] = round(
+                    100.0 * (rec[feeds[1]] / rec[feeds[0]] - 1.0), 1)
+                pairs.append(rec)
+                print(json.dumps({"offered_rps": rate, **rec}), flush=True)
+            deltas = sorted(p["delta_pct"] for p in pairs)
+            out.append({
+                "offered_rps": rate,
+                "pairs": pairs,
+                "median_delta_pct": deltas[len(deltas) // 2],
+                "delta_spread_pct": round(deltas[-1] - deltas[0], 1),
+            })
+        print(json.dumps({
+            "metric": (
+                f"serve sustained A/B {feeds[1]} vs {feeds[0]} "
+                f"({args.arch}, beam=5, batch={args.batch}, "
+                f"ladder={list(servers[feeds[0]].ladder)}, "
+                f"flush_ms={args.flush_ms}, "
+                f"max_in_flight={args.max_in_flight}, interleaved "
+                f"{args.pairs} pairs/rate, {args.num_requests} "
+                f"requests/run)"
+            ),
+            "results": out,
+        }))
+        return 0
 
     if args.rates:
         # Sustained-load mode: warm every rung first (no first-use

@@ -236,11 +236,13 @@ class DecodeConfig:
     # serving. "bfloat16" halves the dominant H2D traffic (the model
     # stores/computes context in bf16 anyway); "int8" halves it AGAIN
     # via per-region symmetric quantization on host + on-device dequant
-    # to the same bf16 grid (data/featquant.py) — approximate by design
-    # (quality cost measured by examples/int8_quality_tradeoff.py
-    # --knob feed); "float32" preserves exact round-1 numerics. Use
-    # int8 when the host->device pipe is the serving wall (bench_serve
-    # sustained sweep: the saturated points sit at 86-92% of the pipe).
+    # to the same bf16 grid (data/featquant.py) — approximate by design,
+    # measured at 0.0% caption churn at H=128 and H=1024
+    # (examples/int8_quality_tradeoff.py --knob feed) and faster than
+    # bf16 in all 6 interleaved sustained-load pairs (bench_serve
+    # --ab-feed, bench_matrix.jsonl); "float32" preserves exact round-1
+    # numerics. Use int8 when the host->device pipe is the serving wall
+    # (bench_serve sustained sweep: saturation at 86-92% of the pipe).
     feed_dtype: str = "float32"
     # Beam-search sequence-history layout (decode.beam docstring):
     # "register" carries materialized [B, K, L] sequences through the
