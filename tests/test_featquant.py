@@ -187,6 +187,40 @@ def test_stacked_decode_int8_feed_matches_bf16_on_grid():
     assert np.array_equal(outs["int8"], outs["bfloat16"])
 
 
+def test_decode_split_int8_feed_on_mesh_matches_single_device():
+    """The (q, scale) feed pair batch-shards over 'data': mesh-8 int8
+    decode must produce exactly the single-device int8 captions."""
+    import jax
+
+    from captionkit.data import SyntheticCaptionSource
+    from captionkit.decode.driver import decode_split
+    from captionkit.models import get_model
+    from captionkit.parallel import make_mesh
+    from captionkit.utils.config import CaptionKitConfig
+
+    cfg = CaptionKitConfig().override({
+        "model.arch": "editnet",
+        "model.emb_dim": 16, "model.hidden_dim": 24, "model.att_dim": 8,
+        "model.feat_dim": 12, "model.num_regions": 4, "model.dropout": 0.0,
+        "decode.method": "beam", "decode.beam_size": 3,
+        "decode.max_decode_len": 8, "decode.batch_size": 8,
+        "decode.feed_dtype": "int8",
+        "data.max_existing_len": 12,
+    })
+    src = SyntheticCaptionSource(num_images=16, captions_per_image=1,
+                                 num_regions=4, feat_dim=12, max_len=12,
+                                 seed=0)
+    cfg = cfg.override({"model.vocab_size": len(src.vocab)})
+    model = get_model(cfg.model)
+    params = model.init(jax.random.PRNGKey(5))
+    ev = src.eval_view()
+    hyps_1, _ = decode_split(model, params, ev, cfg.decode)
+    mesh = make_mesh((8,), ("data",))
+    hyps_8, _ = decode_split(model, params, ev, cfg.decode, mesh=mesh)
+    assert hyps_1 == hyps_8
+    assert len(hyps_1) == 16
+
+
 def test_decode_split_int8_feed():
     """decode_split stages the int8 feed itself (host quantize inside
     the loop) and produces a caption for every image."""
