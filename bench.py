@@ -92,9 +92,11 @@ def main() -> int:
     ap.add_argument("--beam-impl", choices=["register", "backptr"],
                     default="register",
                     help="beam-search history layout (decode.beam docstring)")
-    ap.add_argument("--cell-impl", choices=["xla", "pallas"],
+    ap.add_argument("--cell-impl", choices=["xla", "pallas", "wholestep"],
                     default=None, help="override ModelConfig.cell_impl "
-                    "(fused decode-step cell kernels, ops/megastep.py)")
+                    "(fused decode-step cell kernels, ops/megastep.py; "
+                    "'wholestep' = cells + vocab head in one kernel, "
+                    "ops/wholestep.py)")
     ap.add_argument("--head-quant", choices=["none", "int8"],
                     default=None, help="override ModelConfig.head_quant "
                     "(int8-quantized fused head — serving knob; decode "

@@ -498,7 +498,8 @@ def prepare_topk(
     pre-padded fused-head weights (ops.head.prepad_head) and, when
     cfg.cell_impl == "pallas", the fused-cell pack (ops.megastep) — one
     pad+convert per batch instead of per decode step."""
-    if cfg.cell_impl == "pallas" and cfg.scma_select == "soft":
+    if (cfg.cell_impl in ("pallas", "wholestep")
+            and cfg.scma_select == "soft"):
         from captionkit.ops.megastep import prepare_cell_pack
 
         ctx = ctx.replace(cell_pack=prepare_cell_pack(params, cfg, ctx))
@@ -531,6 +532,28 @@ def step_topk(
 ) -> tuple[EditNetState, jax.Array, jax.Array, jax.Array]:
     """Decode step with the fused head: returns (state, top-k logit values,
     their vocab ids, log-sum-exp) without materializing [B, V] logits."""
+    if (cfg.cell_impl == "wholestep" and ctx.cell_pack is not None
+            and cfg.head_impl == "pallas" and cfg.head_quant == "none"):
+        # Whole-step kernel (ops/wholestep.py): lang cell + vocab head in
+        # ONE pallas_call — the measured answer to the round-4 arithmetic
+        # bound (docs/DESIGN.md). Float head only; int8/xla heads and
+        # non-prepared ctx fall through to the two-program path below.
+        from captionkit.ops import pallas_supported
+        from captionkit.ops.wholestep import fused_step_topk
+
+        emb = params.embedding[token]
+        w = params.fc_w if ctx.head_w is None else ctx.head_w
+        b = params.fc_b if ctx.head_b is None else ctx.head_b
+        h_att, c_att, h_lang, c_lang, vals, idx, lse = fused_step_topk(
+            ctx.cell_pack, state.h_att, state.c_att, state.h_lang,
+            state.c_lang, emb, w, b, k=k, num_regions=cfg.num_regions,
+            compute_dtype=_cdt(cfg), interpret=not pallas_supported(),
+        )
+        return (
+            EditNetState(h_att=h_att, c_att=c_att, h_lang=h_lang,
+                         c_lang=c_lang),
+            vals, idx, lse,
+        )
     new_state, out = _step_hidden(params, cfg, ctx, state, token, None,
                                   False)
     vals, idx, lse = _head_topk(params, cfg, ctx, out, k)

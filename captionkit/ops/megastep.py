@@ -296,31 +296,26 @@ def _pick_g(B: int, K: int, target_rows: int) -> int:
     return best
 
 
-def fused_step_hidden(
+def att_phase(
     pack: CellPack,
     state_h_att: jax.Array,  # [N, H] fp32
     state_c_att: jax.Array,
     state_h_lang: jax.Array,
-    state_c_lang: jax.Array,
     emb: jax.Array,  # [N, E] fp32 (cast to dt here)
     *,
     num_regions: int,
     compute_dtype=jnp.float32,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """One EditNet decode step up to (but not including) the vocab head —
-    the fused twin of models.editnet._step_hidden at train=False,
-    scma_select='soft'. Returns (h_att', c_att', h_lang', c_lang');
-    h_lang' is what the head consumes.
-
-    All group/size statics are recovered from (static) array shapes: the
-    rows-per-image K is N // B; only the true region count comes in as a
-    parameter (visual attention has no mask to encode it)."""
+    """Kernel A + the grouped context einsums — the first half of the
+    fused decode step, shared by fused_step_hidden and the whole-step
+    experiment (ops.wholestep). Returns Hp-padded
+    (h_att' [N,Hp] fp32, c_att' [N,Hp] fp32, vhat_raw [N,Fp] fp32,
+    c_star [N,Hp] fp32)."""
     dt = compute_dtype
     R = num_regions
     B = pack.features.shape[0]
     N = state_h_att.shape[0]
-    H = state_h_att.shape[1]
     if N % B:
         raise ValueError(f"row count {N} not a multiple of image count {B}")
     K = N // B
@@ -334,7 +329,6 @@ def fused_step_hidden(
     h_att = hp(state_h_att)
     c_att = hp(state_c_att)
     h_lang = hp(state_h_lang)
-    c_lang = hp(state_c_lang)
     emb_p = _pad_to(emb, 1, Ep).astype(dt)
 
     G = _pick_g(B, K, 256)
@@ -388,6 +382,43 @@ def fused_step_hidden(
         "bkt,bth->bkh", beta.reshape(B, K, Tp), pack.enc_cs,
         preferred_element_type=jnp.float32,
     ).reshape(N, Hp)
+    return h_att2, c_att2, vhat_raw, c_star
+
+
+def fused_step_hidden(
+    pack: CellPack,
+    state_h_att: jax.Array,  # [N, H] fp32
+    state_c_att: jax.Array,
+    state_h_lang: jax.Array,
+    state_c_lang: jax.Array,
+    emb: jax.Array,  # [N, E] fp32 (cast to dt here)
+    *,
+    num_regions: int,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One EditNet decode step up to (but not including) the vocab head —
+    the fused twin of models.editnet._step_hidden at train=False,
+    scma_select='soft'. Returns (h_att', c_att', h_lang', c_lang');
+    h_lang' is what the head consumes.
+
+    All group/size statics are recovered from (static) array shapes: the
+    rows-per-image K is N // B; only the true region count comes in as a
+    parameter (visual attention has no mask to encode it)."""
+    dt = compute_dtype
+    N = state_h_att.shape[0]
+    H = state_h_att.shape[1]
+    Hp = pack.w_ha.shape[0]
+    Fp = pack.gate_w.shape[1]
+
+    h_att2, c_att2, vhat_raw, c_star = att_phase(
+        pack, state_h_att, state_c_att, state_h_lang, emb,
+        num_regions=num_regions, compute_dtype=dt, interpret=interpret,
+    )
+    h_lang = _pad_to(state_h_lang, 1, Hp)
+    c_lang = _pad_to(state_c_lang, 1, Hp)
+    wconst = lambda d1, d2: pl.BlockSpec(
+        (d1, d2), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     NbB = min(512, N) if N % min(512, N) == 0 else N
     rowsb = lambda width: pl.BlockSpec(

@@ -90,6 +90,17 @@ class ModelConfig:
     # Compile-time note: "pallas" + DecodeConfig.beam_impl="backptr"
     # timed out at 420s on chip (likely compile, unverified);
     # CaptionKitConfig warns on that pair.
+    # "wholestep" (ops/wholestep.py) goes one level further: the lang
+    # cell AND the vocab head fuse into ONE kernel, so h_lang never
+    # round-trips HBM between them — the round-4 "whole-step kernel"
+    # question answered by MEASUREMENT instead of the arithmetic bound.
+    # On-chip paired A/B (round 5, bench_matrix.jsonl): LOSES 10.92%
+    # to the default (7,602.6 vs 8,530.5 c/s, spread 0.28%) and 3.02%
+    # to the two-kernel "pallas" path — the h-hop saving is outweighed
+    # by the resident lang weights crowding the head's W streaming.
+    # Kept as the measured closure of the kernel escalation ladder.
+    # EditNet beam decode with the float pallas head only; everything
+    # else falls back exactly like "pallas".
     cell_impl: str = "xla"
     # Serving-oriented head quantization: "int8" runs the beam decode's
     # fused top-k head on per-column-symmetric int8 weights with per-row
@@ -122,9 +133,10 @@ class ModelConfig:
         if self.head_impl not in ("pallas", "xla"):
             raise ValueError(f"ModelConfig.head_impl must be 'pallas' or "
                              f"'xla', got {self.head_impl!r}")
-        if self.cell_impl not in ("pallas", "xla"):
-            raise ValueError(f"ModelConfig.cell_impl must be 'pallas' or "
-                             f"'xla', got {self.cell_impl!r}")
+        if self.cell_impl not in ("pallas", "xla", "wholestep"):
+            raise ValueError(f"ModelConfig.cell_impl must be 'pallas', "
+                             f"'xla', or 'wholestep', got "
+                             f"{self.cell_impl!r}")
         if self.head_quant not in ("none", "int8"):
             raise ValueError(f"ModelConfig.head_quant must be 'none' or "
                              f"'int8', got {self.head_quant!r}")
@@ -287,7 +299,7 @@ class CaptionKitConfig:
         # combination cannot win; warn rather than let a user discover a
         # silent multi-minute compile.
         if (self.decode.beam_impl == "backptr"
-                and self.model.cell_impl == "pallas"):
+                and self.model.cell_impl in ("pallas", "wholestep")):
             warnings.warn(
                 "decode.beam_impl='backptr' + model.cell_impl='pallas' "
                 "timed out at 420s on chip (likely compile; "
