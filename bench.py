@@ -97,6 +97,10 @@ def main() -> int:
                     "(fused decode-step cell kernels, ops/megastep.py; "
                     "'wholestep' = cells + vocab head in one kernel, "
                     "ops/wholestep.py)")
+    ap.add_argument("--head-extract", choices=["mask", "thresh"],
+                    default=None, help="override ModelConfig.head_extract "
+                    "(fused-head in-kernel top-k algorithm; identical "
+                    "results, different VPU cost — ops/head.py)")
     ap.add_argument("--head-quant", choices=["none", "int8"],
                     default=None, help="override ModelConfig.head_quant "
                     "(int8-quantized fused head — serving knob; decode "
@@ -169,6 +173,8 @@ def main() -> int:
         over["cell_impl"] = args.cell_impl
     if args.head_quant is not None:
         over["head_quant"] = args.head_quant
+    if args.head_extract is not None:
+        over["head_extract"] = args.head_extract
     mcfg = ModelConfig(arch=args.arch, dropout=0.0, **over, **PAPER)
     model = get_model(mcfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -217,7 +223,8 @@ def main() -> int:
             return 2
         key, _, vals = args.ab.partition("=")
         parts = vals.split(",")
-        knobs = ("beam-impl", "head-impl", "cell-impl", "head-quant")
+        knobs = ("beam-impl", "head-impl", "cell-impl", "head-quant",
+                 "head-extract")
         if key not in knobs or len(parts) != 2:
             print(f"bench.py: --ab wants KEY=A,B with KEY in {knobs}",
                   file=sys.stderr)

@@ -46,6 +46,7 @@ class HeadInfo:
     impl: str = "pallas"  # "pallas" | "xla"
     quant: str = "none"  # "none" | "int8"
     compute_dtype: Any = jnp.float32
+    extract: str = "mask"  # in-kernel top-k algorithm (head_extract)
 
 
 @dataclass(frozen=True)

@@ -463,5 +463,6 @@ def make_model(cfg: ModelConfig) -> ModelDef:
             impl=cfg.head_impl,
             quant=cfg.head_quant,
             compute_dtype=_cdt(cfg),
+            extract=cfg.head_extract,
         ),
     )

@@ -580,7 +580,8 @@ def _head_topk(params, cfg, ctx, out, k):
         if cfg.head_impl == "xla":
             return xla_head_topk_int8(out, w_q, scale, b_p, k=k)
         return fused_head_topk_int8(
-            out, w_q, scale, b_p, k=k, interpret=not pallas_supported()
+            out, w_q, scale, b_p, k=k, interpret=not pallas_supported(),
+            extract=cfg.head_extract,
         )
     if cfg.head_impl == "xla":
         from captionkit.ops.head import xla_head_topk
@@ -595,7 +596,7 @@ def _head_topk(params, cfg, ctx, out, k):
     b = params.fc_b if ctx.head_b is None else ctx.head_b
     return fused_head_topk(
         out, w, b, k=k, compute_dtype=_cdt(cfg),
-        interpret=not pallas_supported(),
+        interpret=not pallas_supported(), extract=cfg.head_extract,
     )
 
 
@@ -641,5 +642,6 @@ def make_model(cfg: ModelConfig) -> ModelDef:
             impl=cfg.head_impl,
             quant=cfg.head_quant,
             compute_dtype=_cdt(cfg),
+            extract=cfg.head_extract,
         ),
     )

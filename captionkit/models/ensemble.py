@@ -287,6 +287,7 @@ def ensemble_model(
                     vals, idx, lse = fused_head_topk_int8(
                         h_cat, w, scale, b, k=k,
                         interpret=not pallas_supported(),
+                        extract=hi.extract,
                     )
             elif hi.impl == "xla":
                 from captionkit.ops.head import xla_head_topk
@@ -300,7 +301,7 @@ def ensemble_model(
 
                 vals, idx, lse = fused_head_topk(
                     h_cat, w, b, k=k, compute_dtype=hi.compute_dtype,
-                    interpret=not pallas_supported(),
+                    interpret=not pallas_supported(), extract=hi.extract,
                 )
             return state_m, vals, idx, lse
 

@@ -180,10 +180,24 @@ def _rowmax_argmax_f(x, base_iota_f):
 
 
 def _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
-                     run_vals, run_idx, run_m, run_s):
+                     run_vals, run_idx, run_m, run_s, extract="mask"):
     """Everything downstream of the logits tile, shared by the fp and the
     int8-dequant kernels: online log-sum-exp, k extraction passes over the
-    tile, merge into the running top-k, final write on the last tile."""
+    tile, merge into the running top-k, final write on the last tile.
+
+    ``extract`` picks the per-tile top-k algorithm (identical results,
+    pinned by the tie tests; different VPU cost):
+
+    - "mask": k passes of (max, lowest-index argmax, rewrite the winner to
+      -inf). Each pass streams the tile ~4x including a full-tile WRITE —
+      ~20 mixed streams for k=5.
+    - "thresh": never rewrites the tile. The extracted prefix after step i
+      is exactly the lexicographic (value desc, index asc) head of the
+      row, so a (v_prev, i_prev) threshold characterizes the consumed set:
+      an element is still active iff v < v_prev OR (v == v_prev AND
+      col > i_prev). Step 1's max is the LSE pass's ``tm`` (free); each
+      later step is two read-only traversals (thresholded max, then
+      eligible lowest-index). ~9 read streams for k=5, zero writes."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -212,13 +226,34 @@ def _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
     )
     tile = logits
     t_vals, t_idxf = [], []
-    for _ in range(k):
-        m, idxf, amf = _rowmax_argmax_f(tile, colf)
-        t_vals.append(m)
-        t_idxf.append(amf + jnp.float32(j * TV))
-        # idxf == amf picks exactly the winning element (ties in the
-        # value resolve through the iota, which is unique per column)
-        tile = jnp.where(idxf == amf[:, None], _NEG, tile)
+    if extract == "thresh":
+        v = tm  # [TN, 1] pre-mask tile max, already computed for the LSE
+        idxf = jnp.where(tile == v, colf, _BIGF)
+        i = jnp.min(idxf, axis=1, keepdims=True)
+        t_vals.append(v[:, 0])
+        t_idxf.append(i[:, 0] + jnp.float32(j * TV))
+        for _ in range(k - 1):
+            act = (tile < v) | ((tile == v) & (colf > i))
+            cand = jnp.where(act, tile, _NEG)
+            v_n = jnp.max(cand, axis=1, keepdims=True)
+            # All elements at the new value are eligible if the value
+            # strictly dropped; if it repeated (duplicate value spanning
+            # extraction steps) eligibility is col > i_prev. (v_n < v) is
+            # a per-row scalar, so no full-tile `act` temp here.
+            elig = (tile == v_n) & ((v_n < v) | (colf > i))
+            idxf = jnp.where(elig, colf, _BIGF)
+            i = jnp.min(idxf, axis=1, keepdims=True)
+            v = v_n
+            t_vals.append(v[:, 0])
+            t_idxf.append(i[:, 0] + jnp.float32(j * TV))
+    else:
+        for _ in range(k):
+            m, idxf, amf = _rowmax_argmax_f(tile, colf)
+            t_vals.append(m)
+            t_idxf.append(amf + jnp.float32(j * TV))
+            # idxf == amf picks exactly the winning element (ties in the
+            # value resolve through the iota, which is unique per column)
+            tile = jnp.where(idxf == amf[:, None], _NEG, tile)
 
     # -- merge running top-k with tile top-k -----------------------------
     # Order matters for ties: running entries (earlier tiles / lower
@@ -262,7 +297,7 @@ def _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
         )
 
 
-def _make_head_kernel(k: int, TV: int):
+def _make_head_kernel(k: int, TV: int, extract: str = "mask"):
     def kernel(h_ref, w_ref, b_ref, vals_out, idx_out, lse_out,
                run_vals, run_idx, run_m, run_s):
         logits = (
@@ -271,7 +306,7 @@ def _make_head_kernel(k: int, TV: int):
             + b_ref[...]
         )  # [TN, TV] fp32
         _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
-                         run_vals, run_idx, run_m, run_s)
+                         run_vals, run_idx, run_m, run_s, extract=extract)
 
     return kernel
 
@@ -283,7 +318,7 @@ def _quantize_rows(hf: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.round(hf / s_h).astype(jnp.int8), s_h
 
 
-def _make_head_kernel_int8(k: int, TV: int):
+def _make_head_kernel_int8(k: int, TV: int, extract: str = "mask"):
     """int8 variant: the weight tile arrives pre-quantized (per-column
     symmetric, quantize_head); the activation rows are quantized in-kernel
     (per-row symmetric, recomputed per vocab tile — identical each time,
@@ -297,7 +332,7 @@ def _make_head_kernel_int8(k: int, TV: int):
         acc = jnp.dot(h_q, w_ref[...], preferred_element_type=jnp.int32)
         logits = acc.astype(jnp.float32) * (s_h * s_ref[...]) + b_ref[...]
         _lse_topk_update(logits, k, TV, vals_out, idx_out, lse_out,
-                         run_vals, run_idx, run_m, run_s)
+                         run_vals, run_idx, run_m, run_s, extract=extract)
 
     return kernel
 
@@ -412,7 +447,8 @@ def prepad_head(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "compute_dtype", "interpret", "tiles")
+    jax.jit,
+    static_argnames=("k", "compute_dtype", "interpret", "tiles", "extract"),
 )
 def fused_head_topk(
     h: jax.Array,  # [N, H] hidden (pre-head)
@@ -423,10 +459,15 @@ def fused_head_topk(
     compute_dtype: jnp.dtype = jnp.float32,
     interpret: bool = False,
     tiles: tuple[int, int] | None = None,
+    extract: str = "mask",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (top_vals [N,k] fp32 raw logits, top_idx [N,k] int32,
     lse [N] fp32) — top-k by logit value == top-k by log-prob, since the
-    log-sum-exp is a per-row constant."""
+    log-sum-exp is a per-row constant. ``extract`` picks the in-kernel
+    top-k algorithm (see _lse_topk_update); results are identical."""
+    if extract not in ("mask", "thresh"):
+        raise ValueError(
+            f"extract must be 'mask' or 'thresh', got {extract!r}")
     if _ENV_SWEEP:
         return _sweep_head_topk(h, w, b, k=k, compute_dtype=compute_dtype,
                                 interpret=interpret)
@@ -447,7 +488,7 @@ def fused_head_topk(
     kcols = _round_up(k, 128)
     grid = (Np // TN, Vp // TV)
     vals, idx, lse = pl.pallas_call(
-        _make_head_kernel(k, TV),
+        _make_head_kernel(k, TV, extract),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN, H), lambda i, j: (i, 0),
@@ -512,7 +553,7 @@ def quantize_head(
     return w_q, scale_p, b_p
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "extract"))
 def fused_head_topk_int8(
     h: jax.Array,  # [N, H] hidden (pre-head), float
     w_q: jax.Array,  # [H, Vp] int8, pre-quantized+padded (quantize_head)
@@ -521,6 +562,7 @@ def fused_head_topk_int8(
     *,
     k: int,
     interpret: bool = False,
+    extract: str = "mask",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """int8 twin of fused_head_topk: same (vals, idx, lse) contract, with
     logits = (q8(h) @ w_q) * (s_h * s_w) + b. The approximation error is
@@ -532,6 +574,9 @@ def fused_head_topk_int8(
     exact, expected to cut the head's matmul + W-stream cost ~2x on the
     v5e int8 MXU path; no on-chip number yet (DESIGN.md session-5 list).
     """
+    if extract not in ("mask", "thresh"):
+        raise ValueError(
+            f"extract must be 'mask' or 'thresh', got {extract!r}")
     N, H = h.shape
     Vp = w_q.shape[1]
     TN, TV = _pick_tiles(N, H, Vp, k, 1, h_itemsize=4, logits_buffers=2)
@@ -550,7 +595,7 @@ def fused_head_topk_int8(
     kcols = _round_up(k, 128)
     grid = (Np // TN, Vp // TV)
     vals, idx, lse = pl.pallas_call(
-        _make_head_kernel_int8(k, TV),
+        _make_head_kernel_int8(k, TV, extract),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN, H), lambda i, j: (i, 0),

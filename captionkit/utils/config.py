@@ -118,6 +118,24 @@ class ModelConfig:
     # amortize at DCNet's higher step rate. __post_init__ emits a runtime
     # hint when int8 is combined with arch="dcnet".
     head_quant: str = "none"
+    # In-kernel top-k extraction algorithm for the fused head (float and
+    # int8 twins; ops/head.py _lse_topk_update). "mask": k passes of
+    # max/argmin-index/rewrite-winner-to--inf. "thresh": read-only
+    # lexicographic-threshold extraction — the consumed prefix is exactly
+    # the (value desc, index asc) head, so a (v_prev, i_prev) threshold
+    # marks it; step 1's max is reused from the LSE pass and each later
+    # step is two traversals with no tile rewrite. Results are identical
+    # (lax.top_k tie semantics, pinned by tests) — but the round-5 chip
+    # paired A/B measured thresh SLOWER end-to-end on both archs:
+    # EditNet beam=5 paper scale −4.45% (8,513 vs 8,135 c/s, pair spread
+    # 1.57%), DCNet −8.04% (15,250 vs 14,029, spread 1.28% — larger at
+    # DCNet's higher head share). bench.py --ab head-extract=mask,thresh;
+    # bench_matrix.jsonl. The fewer-passes intuition ignored that the
+    # tile lives in VMEM/vregs where the mask rewrite is one cheap vector
+    # op, while thresh's broadcast-threshold compares add VPU work per
+    # traversal. "mask" is the measured default; "thresh" stays as the
+    # exactness-pinned alternate and the recorded negative.
+    head_extract: str = "mask"
 
     def __post_init__(self) -> None:
         # Validate the string-enum knobs up front: the dispatch sites test
@@ -140,6 +158,9 @@ class ModelConfig:
         if self.head_quant not in ("none", "int8"):
             raise ValueError(f"ModelConfig.head_quant must be 'none' or "
                              f"'int8', got {self.head_quant!r}")
+        if self.head_extract not in ("mask", "thresh"):
+            raise ValueError(f"ModelConfig.head_extract must be 'mask' or "
+                             f"'thresh', got {self.head_extract!r}")
         if self.head_quant == "int8" and self.arch == "dcnet":
             warnings.warn(
                 "head_quant='int8' with arch='dcnet' measured SLOWER on "

@@ -29,16 +29,18 @@ from captionkit.utils.config import ModelConfig
 INTERPRET = os.environ.get("CAPTIONKIT_TEST_TPU", "0") != "1"
 
 
+@pytest.mark.parametrize("extract", ["mask", "thresh"])
 @pytest.mark.parametrize("n,h,v,k", [(8, 16, 40, 5), (13, 32, 257, 3),
                                      (64, 64, 1000, 5)])
-def test_int8_kernel_matches_jnp_twin(n, h, v, k):
+def test_int8_kernel_matches_jnp_twin(n, h, v, k, extract):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((h, v)).astype(np.float32))
     b = jnp.asarray(rng.standard_normal((v,)).astype(np.float32))
     w_q, scale, b_p = quantize_head(w, b, n_rows=n, k=k)
     vals, idx, lse = fused_head_topk_int8(x, w_q, scale, b_p, k=k,
-                                          interpret=INTERPRET)
+                                          interpret=INTERPRET,
+                                          extract=extract)
     ref_logits = quantized_head_logits(x, w_q, scale, b_p)
     import jax
 

@@ -110,18 +110,20 @@ class TestFusedHeadTopK:
     """Fused vocab head (ops/head.py): matmul + online LSE + per-row top-k
     vs the jnp full-logits reference (VERDICT r1 #3 megakernel work)."""
 
+    @pytest.mark.parametrize("extract", ["mask", "thresh"])
     @pytest.mark.parametrize("N,H,V,k", [
         (16, 32, 300, 5), (24, 64, 130, 3), (8, 16, 128, 1),
         (40, 48, 1000, 5),
     ])
-    def test_parity_interpret(self, N, H, V, k):
+    def test_parity_interpret(self, N, H, V, k, extract):
         from captionkit.ops.head import fused_head_topk, reference_head_topk
 
         rng = np.random.default_rng(N + V)
         h = jnp.asarray(rng.standard_normal((N, H)).astype(np.float32))
         w = jnp.asarray(rng.standard_normal((H, V)).astype(np.float32))
         b = jnp.asarray(rng.standard_normal((V,)).astype(np.float32))
-        v1, i1, l1 = fused_head_topk(h, w, b, k=k, interpret=True)
+        v1, i1, l1 = fused_head_topk(h, w, b, k=k, interpret=True,
+                                     extract=extract)
         v2, i2, l2 = reference_head_topk(h, w, b, k=k)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
@@ -129,7 +131,8 @@ class TestFusedHeadTopK:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    atol=1e-5)
 
-    def test_tie_break_lowest_index(self):
+    @pytest.mark.parametrize("extract", ["mask", "thresh"])
+    def test_tie_break_lowest_index(self, extract):
         from captionkit.ops.head import fused_head_topk
 
         # Identical logits everywhere: top-k must be ids 0..k-1 in order
@@ -137,13 +140,58 @@ class TestFusedHeadTopK:
         h = jnp.ones((8, 16), jnp.float32)
         w = jnp.ones((16, 200), jnp.float32)
         b = jnp.zeros((200,), jnp.float32)
-        _, idx, _ = fused_head_topk(h, w, b, k=4, interpret=True)
+        _, idx, _ = fused_head_topk(h, w, b, k=4, interpret=True,
+                                    extract=extract)
         np.testing.assert_array_equal(
             np.asarray(idx), np.tile(np.arange(4), (8, 1))
         )
 
+    @pytest.mark.parametrize("extract", ["mask", "thresh"])
+    def test_adversarial_duplicates(self, extract):
+        """Duplicate values spanning extraction steps AND tile boundaries
+        — the cases that stress the thresh algorithm's (v_prev, i_prev)
+        characterization of the consumed prefix. h = eye(N) with
+        w = patterns makes logits row i exactly patterns[i]; tiles=(8,128)
+        forces V=384 into 3 vocab tiles so the cross-tile merge sees the
+        duplicates too."""
+        from captionkit.ops.head import fused_head_topk, reference_head_topk
+
+        N, V, k = 8, 384, 5
+        pat = np.zeros((N, V), np.float32)
+        # row 0: top value appears 3x (steps 1-3 share v), then a pair
+        pat[0, [7, 130, 300]] = 4.0
+        pat[0, [12, 260]] = 3.0
+        # row 1: strictly descending distinct, scattered across tiles
+        pat[1, [300, 5, 129, 383, 0]] = [9, 8, 7, 6, 5]
+        # row 2: all equal (full-row tie)
+        pat[2, :] = 1.0
+        # row 3: k duplicates exactly at a tile boundary (127, 128)
+        pat[3, [126, 127, 128, 129, 255]] = 2.0
+        # row 4: duplicate max where the LATER tile also holds the same
+        # value before the earlier tile's second copy
+        pat[4, [200, 10, 210]] = [5.0, 5.0, 5.0]
+        # row 5: negative plateau below zeros (top-k must be the zeros)
+        pat[5, :] = -1.0
+        pat[5, [50, 150, 250]] = 0.0
+        # rows 6-7: random with forced duplicates
+        rng = np.random.default_rng(0)
+        for r in (6, 7):
+            pat[r] = rng.integers(-3, 3, V).astype(np.float32)
+        h = jnp.asarray(np.eye(N, dtype=np.float32))
+        w = jnp.asarray(pat)
+        b = jnp.zeros((V,), jnp.float32)
+        v1, i1, l1 = fused_head_topk(h, w, b, k=k, interpret=True,
+                                     tiles=(8, 128), extract=extract)
+        v2, i2, l2 = reference_head_topk(h, w, b, k=k)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-5)
+
     @pytest.mark.skipif(INTERPRET, reason="needs the real chip")
-    def test_parity_on_chip_paper_scale(self):
+    @pytest.mark.parametrize("extract", ["mask", "thresh"])
+    def test_parity_on_chip_paper_scale(self, extract):
         from captionkit.ops.head import fused_head_topk, reference_head_topk
 
         rng = np.random.default_rng(7)
@@ -154,7 +202,8 @@ class TestFusedHeadTopK:
         b = jnp.asarray(
             (rng.standard_normal((V,)) * 0.01).astype(np.float32))
         v1, i1, l1 = fused_head_topk(h, w, b, k=k,
-                                     compute_dtype=jnp.bfloat16)
+                                     compute_dtype=jnp.bfloat16,
+                                     extract=extract)
         v2, i2, l2 = reference_head_topk(
             h.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b, k=k)
         assert float(np.mean(np.asarray(i1) == np.asarray(i2))) > 0.999
@@ -181,6 +230,7 @@ def test_beam_search_fused_head_matches_reference_path():
             compute_dtype="float32", use_fused_head=True,
         )
         model_f = get_model(mcfg)
+        model_t = get_model(dataclasses.replace(mcfg, head_extract="thresh"))
         model_r = get_model(dataclasses.replace(mcfg, use_fused_head=False))
         params = model_f.init(jax.random.PRNGKey(0))
         feats = jnp.asarray(rng.standard_normal((4, 4, 10)).astype(np.float32))
@@ -189,11 +239,19 @@ def test_beam_search_fused_head_matches_reference_path():
         ctx = model_f.encode(params, feats, ex, exl)
         rf = beam_search(model_f, params, ctx, beam_size=5, start_id=2,
                          end_id=3, max_len=10)
+        rt = beam_search(model_t, params, ctx, beam_size=5, start_id=2,
+                         end_id=3, max_len=10)
         rr = beam_search(model_r, params, ctx, beam_size=5, start_id=2,
                          end_id=3, max_len=10)
         np.testing.assert_array_equal(np.asarray(rf.tokens),
                                       np.asarray(rr.tokens))
         np.testing.assert_allclose(np.asarray(rf.scores),
+                                   np.asarray(rr.scores), atol=1e-5)
+        # head_extract="thresh" is the same head, different in-kernel
+        # extraction — end-to-end identical captions and scores
+        np.testing.assert_array_equal(np.asarray(rt.tokens),
+                                      np.asarray(rr.tokens))
+        np.testing.assert_allclose(np.asarray(rt.scores),
                                    np.asarray(rr.scores), atol=1e-5)
 
 
